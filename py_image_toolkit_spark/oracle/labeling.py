@@ -1,0 +1,204 @@
+"""Oracle E3 labeling: sequential-Python implementation of the token
+labeling → run-merge → first-wins pivot dataflow (reference ocr.py:135-432),
+preserving its verified quirks:
+
+- label-pass ordering: title > rrn > issuer > issue_date (with the
+  road-number guard) > address; the address pass can only fire on tokens
+  still labeled "O" (reference ocr.py:226-254)
+- name inference: fast path when rrn index == title index + 2 (no fallback
+  scan if it fails); otherwise greedy-first scan strictly between the
+  anchors; substring keyword veto (홍길동 vetoed via "동"/"길")
+- neighbor relabel reads the pre-pass label of the next token (forward loop
+  over an in-place list ⇒ equivalent to lead() over pre-pass labels)
+- date runs chunked 3-at-a-time; only valid Y/M/D triples merge to "Y.M.D"
+- first-wins pivot; issue_date accepted only as a dotted triple
+
+The engine implements the identical semantics as Column/Window expressions
+in operators/extract_fields.py — zero per-row Python.
+"""
+
+from __future__ import annotations
+
+import re
+
+from py_image_toolkit_spark.functions import vocab as V
+
+_RRN_DASHED = re.compile(V.RRN_DASHED_RE)
+_RRN_PLAIN = re.compile(V.RRN_PLAIN_RE)
+_YEAR = re.compile(V.YEAR_RE)
+_MONTH = re.compile(V.MONTH_RE)
+_DAY = re.compile(V.DAY_RE)
+_NAME = re.compile(V.NAME_RE)
+_ADDR_UNIT = re.compile(V.ADDR_UNIT_RE)
+_ADDR_ROAD = re.compile(V.ADDR_ROAD_RE)
+_ADDR_SUFFIX = re.compile(V.ADDR_SUFFIX_RE)
+_ADDR_NUMERIC = re.compile(V.ADDR_NUMERIC_RE)
+
+
+def _is_issuer(text: str) -> bool:
+    """≙ reference ocr.py:181-207 (H10), incl. the operator-precedence quirk:
+    the trailing ``endswith 학교 and not contains 대학교`` clause stands alone."""
+    if any(text.endswith(s) for s in V.ISSUER_SUFFIXES):
+        return True
+    org_hit = any(k in text for k in V.ISSUER_ORG_KEYWORDS) and any(
+        text.endswith(s) for s in V.ISSUER_ORG_SUFFIXES
+    )
+    school_hit = "학교장" in text or (text.endswith("학교") and "대학교" not in text)
+    return org_hit or school_hit
+
+
+def _is_rrn(text: str) -> bool:
+    return bool(
+        _RRN_DASHED.fullmatch(text)
+        or _RRN_PLAIN.fullmatch(text.replace("-", "").replace(" ", ""))
+    )
+
+
+def _is_date_component(text: str) -> bool:
+    return bool(_YEAR.fullmatch(text) or _MONTH.fullmatch(text) or _DAY.fullmatch(text))
+
+
+def _is_addressish(text: str) -> bool:
+    """≙ reference ocr.py:229-244 (H12) address-shape disjunction."""
+    return bool(
+        any(k in text for k in V.ADDRESS_KEYWORDS)
+        or _ADDR_UNIT.search(text)
+        or _ADDR_ROAD.search(text)
+        or _ADDR_SUFFIX.search(text)
+        or _ADDR_NUMERIC.search(text)
+        or (len(text.split()) > 1 and any(k in text for k in V.MULTIWORD_ADDRESS_KEYWORDS))
+    )
+
+
+def _name_vetoed(text: str) -> bool:
+    """substring veto over title/rrn/address keyword sets (H13)."""
+    return any(kw in text for kw in V.NAME_VETO_KEYWORDS)
+
+
+def label_tokens(tokens: list[str]) -> list[str]:
+    """Assign one label per token. Pure function: list[str] → list[str]."""
+    n = len(tokens)
+    labels = ["O"] * n
+
+    # pass 1: per-token classification (order-sensitive when/otherwise chain)
+    for i, text in enumerate(tokens):
+        if text in V.DOC_TITLE_KEYWORDS:
+            labels[i] = "document_title"
+        elif _is_rrn(text):
+            labels[i] = "rrn"
+        elif _is_issuer(text):
+            labels[i] = "issuer"
+
+        if labels[i] == "O" and _is_date_component(text):
+            # road-number guard (C4): a 1-2 digit token after a road token is
+            # an address component, not a date day (reference ocr.py:214-224)
+            road_guard = (
+                i > 0
+                and any(k in tokens[i - 1] for k in V.ROAD_KEYWORDS)
+                and text.isdigit()
+                and len(text) <= 2
+            )
+            if not road_guard:
+                labels[i] = "issue_date"
+
+        if labels[i] == "O" and _is_addressish(text):
+            # short bare digits without a clear indicator stay unlabeled
+            short_digit = text.isdigit() and len(text) <= 2
+            clear = any(k in text for k in V.CLEAR_ADDRESS_INDICATORS)
+            if not (short_digit and not clear):
+                labels[i] = "address"
+
+    # pass 2: name inference between title and rrn anchors (C2)
+    title_idx = next((i for i, l in enumerate(labels) if l == "document_title"), None)
+    if title_idx is not None:
+        rrn_idx = next(
+            (i for i, l in enumerate(labels) if l == "rrn" and i > title_idx), None
+        )
+        if rrn_idx is not None:
+            if rrn_idx == title_idx + 2:
+                k = title_idx + 1
+                if (
+                    _NAME.fullmatch(tokens[k])
+                    and not _name_vetoed(tokens[k])
+                    and labels[k] not in ("document_title", "rrn", "issuer")
+                ):
+                    labels[k] = "name"
+            elif rrn_idx > title_idx + 1:
+                for k in range(title_idx + 1, rrn_idx):
+                    if (
+                        labels[k] in ("O", "address", "issue_date")
+                        and _NAME.fullmatch(tokens[k])
+                        and not _name_vetoed(tokens[k])
+                    ):
+                        if labels[k] == "address" and len(tokens[k]) > 5:
+                            continue
+                        labels[k] = "name"
+                        break
+
+    # pass 3: neighbor relabel (C3) — reads pre-pass label of the next token
+    pre = list(labels)
+    for j in range(n - 1):
+        if (
+            pre[j] in ("address", "O")
+            and pre[j + 1] == "issuer"
+            and any(k in tokens[j] for k in V.REGION_KEYWORDS)
+            and len(tokens[j]) < 10
+        ):
+            labels[j] = "issuer"
+
+    return labels
+
+
+def merge_runs(tokens: list[str], labels: list[str]) -> list[tuple[str, str]]:
+    """Run-merge (D5/D6): consecutive address/issuer runs join with " ";
+    issue_date runs chunk 3-at-a-time, valid Y/M/D triples → "Y.M.D".
+    Returns ordered (text, label) pairs."""
+    out: list[tuple[str, str]] = []
+    i, n = 0, len(tokens)
+    while i < n:
+        lab = labels[i]
+        if lab in ("address", "issuer"):
+            j = i
+            while j < n and labels[j] == lab:
+                j += 1
+            out.append((" ".join(tokens[i:j]), lab))
+            i = j
+        elif lab == "issue_date":
+            j = i
+            comps: list[str] = []
+            while j < n and labels[j] == "issue_date" and len(comps) < 3:
+                comps.append(tokens[j])
+                j += 1
+            if (
+                len(comps) == 3
+                and _YEAR.fullmatch(comps[0])
+                and _MONTH.fullmatch(comps[1])
+                and _DAY.fullmatch(comps[2])
+            ):
+                out.append((f"{comps[0]}.{comps[1]}.{comps[2]}", "issue_date"))
+            else:
+                out.extend((c, "issue_date") for c in comps)
+            i = j
+        else:
+            out.append((tokens[i], lab))
+            i += 1
+    return out
+
+
+def pivot_first_wins(merged: list[tuple[str, str]]) -> dict[str, str | None]:
+    """First-wins pivot to the 6-field record (D4); issue_date only accepted
+    as a dotted triple (reference ocr.py:424-426)."""
+    fields: dict[str, str | None] = {f: None for f in V.OUTPUT_FIELDS}
+    for text, lab in merged:
+        if lab not in fields or fields[lab] is not None:
+            continue
+        if lab == "issue_date" and not ("." in text and len(text.split(".")) == 3):
+            continue
+        fields[lab] = text
+    return fields
+
+
+def extract_fields(tokens: list[str]) -> dict[str, str | None]:
+    """tokenized text → 6-field record (the full E3 stage)."""
+    labels = label_tokens(tokens)
+    return pivot_first_wins(merge_runs(tokens, labels))

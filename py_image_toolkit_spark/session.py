@@ -1,0 +1,64 @@
+"""SparkSession builder with scale-oriented defaults.
+
+The reference right-sizes parallelism with ``min(cpu_count, n_tasks)``
+(reference resizes.py:103); here AQE coalescing plus an explicit shuffle
+partition count play that role. All knobs are plain Spark configs so the same
+code runs unchanged on a multi-executor cluster via ``spark-submit
+--py-files`` (north rule) — nothing below assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size ≙ the reference's OCR micro-batch knob rec_batch_num
+# (reference ocr.py:560-564) — ours is much larger because Arrow transfer
+# amortizes per-batch overhead, the whole point of batching.
+DEFAULT_ARROW_BATCH = 2048
+
+
+def build_session(
+    app_name: str = "py-image-toolkit-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build a SparkSession with AQE + Arrow enabled.
+
+    ``master=None`` defers to spark-submit / the environment (cluster path);
+    tests and bench pass ``local[N]`` explicitly.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+
+    conf = {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # AQE: runtime re-plan, partition coalescing, skew-join splitting.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow for pandas UDF / mapInPandas stages (the E1/E2 parse kernels).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(DEFAULT_ARROW_BATCH),
+        # Parquet writes: zstd ≙ the reference's per-format quality knobs
+        # (reference optimize.py:39-53); see operators/encode.py for the map.
+        "spark.sql.parquet.compression.codec": "zstd",
+        # Keep timestamps deterministic across engines (oracle parity).
+        "spark.sql.session.timeZone": "UTC",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        "spark.ui.enabled": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

