@@ -1,0 +1,912 @@
+"""Driver-contract query registry: each entry pairs an idiomatic-DataFrame
+Spark implementation with an equivalent ANSI/DuckDB SQL oracle.
+
+Cross-engine determinism rules (floats hash-compare exactly):
+- never SUM raw doubles (partition-order-dependent): sum integer cents via
+  ``FLOOR(x*100 + 0.5)`` — floor of identical doubles is identical;
+- derived ratios divide the *same* deterministic numerators/denominators;
+- Python/engine banker's rounding (``bround``) is reproduced in SQL by an
+  explicit floor-based HALF_EVEN formula (``_sql_bround``);
+- ``int()`` truncation (reference resize.py:51) maps to FLOOR on positive
+  values in both dialects (DuckDB CAST rounds — never cast doubles to ints);
+- every computed column is aliased identically on both sides;
+- ties in top-k / first-wins are broken by a unique key column.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+_PHI_INV = (math.sqrt(5) - 1) / 2
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def cents(col) -> F.Column:
+    """Order-independent money aggregate unit (see module docstring)."""
+    return F.floor(col * 100 + F.lit(0.5)).cast("long")
+
+
+# --------------------------------------------------------------------------
+# A. standard relational coverage (scan/filter/join/agg/window/json)
+# --------------------------------------------------------------------------
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)            AS sum_qty,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2002-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """TPC-H Q1 shape: scan-filter-agg with map-side partial aggregation
+    (≙ reference D7 summary counters, SURVEY.md §2)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2002-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_cents"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q02_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    ORDER BY revenue_cents DESC, nation
+    """,
+)
+def q02(spark, sf_dir):
+    """Star join with explicit broadcast of the small dimensions (SURVEY.md
+    §2 C5 small-dim broadcast; at 100 TB the fact side never shuffles for
+    these joins)."""
+    li, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    c, n, r = (t(spark, sf_dir, x) for x in ("customer", "nation", "region"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            ),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue_cents"), "nation")
+    )
+
+
+@register(
+    "q03_priority_semi_join",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q03(spark, sf_dir):
+    """left-semi join (≙ A10/C1 existence probe family)."""
+    o, li = t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 45)
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q04_customers_without_orders",
+    """
+    SELECT c.c_nationkey AS nationkey, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    ORDER BY nationkey
+    """,
+)
+def q04(spark, sf_dir):
+    """left-anti join — the resume mechanism's exact shape (SURVEY.md §2
+    A10/C1: pages ⟕̸ committed-outputs)."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("nationkey")
+    )
+
+
+@register(
+    "q05_event_deltas",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(ABS(delta)*100 + 0.5) AS BIGINT)) AS BIGINT) AS abs_delta_cents
+    FROM (
+      SELECT user_id, value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+      FROM events
+    )
+    WHERE delta IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q05(spark, sf_dir):
+    """lag() analytics (≙ C4 prev-token context check)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("delta", F.col("value") - F.lag("value").over(w))
+        .filter(F.col("delta").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.abs(F.col("delta")))).alias("abs_delta_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q06_sessionize_rle",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                       OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), seg AS (
+      SELECT user_id, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS segment
+      FROM flagged
+    )
+    SELECT user_id, COUNT(DISTINCT segment) AS n_segments,
+           COUNT(*) AS n_events
+    FROM seg GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q06(spark, sf_dir):
+    """run-length sessionize-by-change — the exact D5 segment-merge shape."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("segment", F.sum(chg).over(w))
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("segment").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q07_first_wins_pivot",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id,
+      CAST(FLOOR(MAX(CASE WHEN event_type='click'    AND rn=1 THEN value END)*100+0.5) AS BIGINT) AS first_click_cents,
+      CAST(FLOOR(MAX(CASE WHEN event_type='view'     AND rn=1 THEN value END)*100+0.5) AS BIGINT) AS first_view_cents,
+      CAST(FLOOR(MAX(CASE WHEN event_type='purchase' AND rn=1 THEN value END)*100+0.5) AS BIGINT) AS first_purchase_cents
+    FROM ranked GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q07(spark, sf_dir):
+    """first-wins pivot (≙ D4) via min(struct(orderkeys, value))."""
+    ev = t(spark, sf_dir, "events")
+    aggs = []
+    for et in ("click", "view", "purchase"):
+        first_val = F.min(
+            F.when(F.col("event_type") == et, F.struct("ts", "event_id", "value"))
+        )["value"]
+        aggs.append(cents(first_val).alias(f"first_{et}_cents"))
+    return ev.groupBy("user_id").agg(*aggs).orderBy("user_id")
+
+
+@register(
+    "q08_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q08(spark, sf_dir):
+    """JSON scalar functions over events.props (SURVEY.md §2 H-map note)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q09_topk_per_brand",
+    """
+    SELECT brand, p_partkey AS partkey, rank
+    FROM (
+      SELECT p_brand AS brand, p_partkey,
+             ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rank
+      FROM part
+    ) WHERE rank <= 3
+    ORDER BY brand, rank
+    """,
+)
+def q09(spark, sf_dir):
+    """top-k per group (≙ D1/F2 argmax subject selection)."""
+    p = t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        p.select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_partkey").alias("partkey"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+        .orderBy("brand", "rank")
+    )
+
+
+@register(
+    "q10_argmin_center",
+    """
+    SELECT n.n_name AS nation, c.c_custkey AS custkey
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY n.n_name
+                               ORDER BY ABS(c.c_acctbal - 1000.0), c.c_custkey) = 1
+    ORDER BY nation
+    """,
+)
+def q10(spark, sf_dir):
+    """argmin with deterministic tie-break (≙ D2 'center' selection)."""
+    c, n = t(spark, sf_dir, "customer"), t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.abs(F.col("c_acctbal") - 1000.0), "c_custkey"
+    )
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("n_name").alias("nation"), F.col("c_custkey").alias("custkey"))
+        .orderBy("nation")
+    )
+
+
+# --------------------------------------------------------------------------
+# B. geometry parity (the reference's H1-H7 math, cross-validated in SQL)
+# --------------------------------------------------------------------------
+
+def _sql_br(x: str) -> str:
+    """Banker's rounding (HALF_EVEN ≙ Python round()/Spark bround) as
+    portable SQL over doubles: floor(x+0.5), minus 1 on exact .5 ties that
+    landed on an odd integer."""
+    return (
+        f"(FLOOR(({x}) + 0.5) - CASE WHEN (({x}) + 0.5) = FLOOR(({x}) + 0.5) "
+        f"AND CAST(FLOOR(({x}) + 0.5) AS BIGINT) % 2 <> 0 THEN 1 ELSE 0 END)"
+    )
+
+
+_PHI_HI = repr(_PHI_INV)          # 0.618... (same double literal both sides)
+_PHI_LO = repr(1 - _PHI_INV)      # 0.382...
+
+_Q11_SQL = """
+WITH base AS (
+  SELECT p_partkey AS partkey,
+         CAST(p_partkey % 1900 + 20 AS BIGINT) AS ow,
+         CAST((p_size * 37) % 1060 + 20 AS BIGINT) AS oh,
+         CAST(CASE WHEN p_partkey % 7 = 0 THEN 0 ELSE 1280 END AS BIGINT) AS tw,
+         CAST(CASE WHEN p_partkey % 5 = 0 THEN 0 ELSE 720 END AS BIGINT) AS th
+  FROM part
+)
+SELECT partkey, ow, oh, tw, th,
+  CAST(CASE
+    WHEN tw > 0 AND th > 0 THEN GREATEST(1, FLOOR(ow * LEAST(tw*1.0/ow, th*1.0/oh)))
+    WHEN tw > 0 THEN tw
+    WHEN th > 0 THEN GREATEST(1, FLOOR(ow * (th*1.0/oh)))
+    ELSE ow END AS BIGINT) AS new_w,
+  CAST(CASE
+    WHEN tw > 0 AND th > 0 THEN GREATEST(1, FLOOR(oh * LEAST(tw*1.0/ow, th*1.0/oh)))
+    WHEN tw > 0 THEN GREATEST(1, FLOOR(oh * (tw*1.0/ow)))
+    WHEN th > 0 THEN th
+    ELSE oh END AS BIGINT) AS new_h
+FROM base ORDER BY partkey
+"""
+
+
+@register("q11_resize_fit", _Q11_SQL)
+def q11(spark, sf_dir):
+    """H1 aspect-fit resize with int() *truncation* (reference
+    resize.py:41-69) — all four target branches exercised."""
+    p = t(spark, sf_dir, "part")
+    base = p.select(
+        F.col("p_partkey").alias("partkey"),
+        (F.col("p_partkey") % 1900 + 20).cast("long").alias("ow"),
+        ((F.col("p_size") * 37) % 1060 + 20).cast("long").alias("oh"),
+        F.when(F.col("p_partkey") % 7 == 0, 0).otherwise(1280).cast("long").alias("tw"),
+        F.when(F.col("p_partkey") % 5 == 0, 0).otherwise(720).cast("long").alias("th"),
+    )
+    ow, oh, tw, th = (F.col(c) for c in ("ow", "oh", "tw", "th"))
+    ratio = F.least(tw * 1.0 / ow, th * 1.0 / oh)
+    new_w = (
+        F.when((tw > 0) & (th > 0), F.greatest(F.lit(1), F.floor(ow * ratio)))
+        .when(tw > 0, tw)
+        .when(th > 0, F.greatest(F.lit(1), F.floor(ow * (th * 1.0 / oh))))
+        .otherwise(ow)
+    )
+    new_h = (
+        F.when((tw > 0) & (th > 0), F.greatest(F.lit(1), F.floor(oh * ratio)))
+        .when(tw > 0, F.greatest(F.lit(1), F.floor(oh * (tw * 1.0 / ow))))
+        .when(th > 0, th)
+        .otherwise(oh)
+    )
+    return base.select(
+        "partkey", "ow", "oh", "tw", "th",
+        new_w.cast("long").alias("new_w"),
+        new_h.cast("long").alias("new_h"),
+    ).orderBy("partkey")
+
+
+def _q12_sql() -> str:
+    cols = []
+    for i, (wi, hi) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)], start=1):
+        px = (
+            f"CASE WHEN rule='thirds' THEN w/3.0 WHEN rule='golden' THEN w*{_PHI_LO} ELSE w/2.0 END"
+            if wi == 0
+            else f"CASE WHEN rule='thirds' THEN 2*w/3.0 WHEN rule='golden' THEN w*{_PHI_HI} ELSE w/2.0 END"
+        )
+        py = (
+            f"CASE WHEN rule='thirds' THEN h/3.0 WHEN rule='golden' THEN h*{_PHI_LO} ELSE h/2.0 END"
+            if hi == 0
+            else f"CASE WHEN rule='thirds' THEN 2*h/3.0 WHEN rule='golden' THEN h*{_PHI_HI} ELSE h/2.0 END"
+        )
+        cols.append(f"CAST({_sql_br(px)} AS BIGINT) AS p{i}x")
+        cols.append(f"CAST({_sql_br(py)} AS BIGINT) AS p{i}y")
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS partkey,
+         CAST(p_partkey % 1900 + 100 AS BIGINT) AS w,
+         CAST((p_size * 53) % 1000 + 100 AS BIGINT) AS h,
+         CASE WHEN p_partkey % 2 = 0 THEN 'thirds' ELSE 'golden' END AS rule
+  FROM part
+)
+SELECT partkey, rule, {', '.join(cols)}
+FROM base ORDER BY partkey
+"""
+
+
+@register("q12_rule_points", _q12_sql())
+def q12(spark, sf_dir):
+    """H3/H4 rule points with banker's rounding, cross-validated against an
+    explicit floor-based HALF_EVEN implementation in SQL."""
+    from py_image_toolkit_spark.operators.select import _iround, _rule_point_exprs
+
+    p = t(spark, sf_dir, "part")
+    base = p.select(
+        F.col("p_partkey").alias("partkey"),
+        (F.col("p_partkey") % 1900 + 100).cast("long").alias("w"),
+        ((F.col("p_size") * 53) % 1000 + 100).cast("long").alias("h"),
+        F.when(F.col("p_partkey") % 2 == 0, "thirds").otherwise("golden").alias("rule"),
+    )
+    pts = _rule_point_exprs(
+        F.col("rule"), F.col("w").cast("double"), F.col("h").cast("double")
+    )
+    sel = [F.col("partkey"), F.col("rule")]
+    for i, (px, py) in enumerate(pts, start=1):
+        sel.append(px.alias(f"p{i}x"))
+        sel.append(py.alias(f"p{i}y"))
+    return base.select(*sel).orderBy("partkey")
+
+
+def _q13_sql(padding_percent: float = 10.0) -> str:
+    pt_px, pt_py = [], []
+    for wi, hi in [(0, 0), (0, 1), (1, 0), (1, 1)]:
+        px = (
+            f"CASE WHEN rule='thirds' THEN canvas_w/3.0 WHEN rule='golden' THEN canvas_w*{_PHI_LO} ELSE canvas_w/2.0 END"
+            if wi == 0
+            else f"CASE WHEN rule='thirds' THEN 2*canvas_w/3.0 WHEN rule='golden' THEN canvas_w*{_PHI_HI} ELSE canvas_w/2.0 END"
+        )
+        py = (
+            f"CASE WHEN rule='thirds' THEN canvas_h/3.0 WHEN rule='golden' THEN canvas_h*{_PHI_LO} ELSE canvas_h/2.0 END"
+            if hi == 0
+            else f"CASE WHEN rule='thirds' THEN 2*canvas_h/3.0 WHEN rule='golden' THEN canvas_h*{_PHI_HI} ELSE canvas_h/2.0 END"
+        )
+        pt_px.append(f"CAST({_sql_br(px)} AS BIGINT)")
+        pt_py.append(f"CAST({_sql_br(py)} AS BIGINT)")
+    pxs = ", ".join(f"{e} AS px{i}" for i, e in enumerate(pt_px))
+    pys = ", ".join(f"{e} AS py{i}" for i, e in enumerate(pt_py))
+    ds = ", ".join(
+        f"(cx - px{i})*(cx - px{i}) + (cy - py{i})*(cy - py{i}) AS d{i}" for i in range(4)
+    )
+    tx = ("CASE WHEN d0 = dbest THEN px0 WHEN d1 = dbest THEN px1 "
+          "WHEN d2 = dbest THEN px2 ELSE px3 END")
+    ty = ("CASE WHEN d0 = dbest THEN py0 WHEN d1 = dbest THEN py1 "
+          "WHEN d2 = dbest THEN py2 ELSE py3 END")
+    pct = repr(float(padding_percent))
+    return f"""
+WITH base AS (
+  SELECT p_partkey AS partkey,
+         CAST(p_partkey % 1900 + 100 AS BIGINT) AS canvas_w,
+         CAST((p_size * 53) % 1000 + 100 AS BIGINT) AS canvas_h,
+         CASE WHEN p_partkey % 2 = 0 THEN 'thirds' ELSE 'golden' END AS rule
+  FROM part
+), centers AS (
+  SELECT *, CAST((partkey * 13) % canvas_w AS BIGINT) AS cx,
+            CAST((partkey * 29) % canvas_h AS BIGINT) AS cy
+  FROM base
+), pts AS (
+  SELECT *, {pxs}, {pys} FROM centers
+), dists AS (
+  SELECT *, {ds} FROM pts
+), best AS (
+  SELECT *, LEAST(d0, d1, d2, d3) AS dbest FROM dists
+), chosen AS (
+  SELECT *, {tx} AS tx, {ty} AS ty FROM best
+), fitted AS (
+  SELECT *,
+    2 * LEAST(tx, canvas_w - tx) AS max_w_t,
+    2 * LEAST(ty, canvas_h - ty) AS max_h_t,
+    CASE WHEN partkey % 3 = 0 THEN 16.0/9.0 ELSE canvas_w*1.0/canvas_h END AS aspect
+  FROM chosen
+), fw_fh AS (
+  SELECT *,
+    CASE WHEN max_w_t / aspect <= max_h_t + 1e-6 THEN max_w_t * 1.0 ELSE max_h_t * aspect END AS fw,
+    CASE WHEN max_w_t / aspect <= max_h_t + 1e-6 THEN max_w_t / aspect ELSE max_h_t * 1.0 END AS fh
+  FROM fitted
+), rawc AS (
+  SELECT *, tx - fw/2 AS x1_raw, ty - fh/2 AS y1_raw FROM fw_fh
+), clamped AS (
+  SELECT *,
+    GREATEST(0, CAST({_sql_br("x1_raw")} AS BIGINT)) AS x1,
+    GREATEST(0, CAST({_sql_br("y1_raw")} AS BIGINT)) AS y1,
+    LEAST(canvas_w, CAST({_sql_br("x1_raw + fw")} AS BIGINT)) AS x2,
+    LEAST(canvas_h, CAST({_sql_br("y1_raw + fh")} AS BIGINT)) AS y2
+  FROM rawc
+), flagged AS (
+  SELECT *, (max_w_t <= 0 OR max_h_t <= 0 OR x1 >= x2 OR y1 >= y2) AS degenerate
+  FROM clamped
+), padded AS (
+  SELECT *,
+    CAST({_sql_br(f"(x2 - x1) * {pct} / 100.0 / 2.0")} AS BIGINT) AS pad_x,
+    CAST({_sql_br(f"(y2 - y1) * {pct} / 100.0 / 2.0")} AS BIGINT) AS pad_y
+  FROM flagged
+), padded2 AS (
+  SELECT *,
+    GREATEST(0, x1 - pad_x) AS nx1, GREATEST(0, y1 - pad_y) AS ny1,
+    LEAST(canvas_w, x2 + pad_x) AS nx2, LEAST(canvas_h, y2 + pad_y) AS ny2
+  FROM padded
+)
+SELECT partkey, rule, tx, ty,
+  CASE WHEN degenerate THEN NULL WHEN nx1 < nx2 AND ny1 < ny2 THEN nx1 ELSE x1 END AS crop_x1,
+  CASE WHEN degenerate THEN NULL WHEN nx1 < nx2 AND ny1 < ny2 THEN ny1 ELSE y1 END AS crop_y1,
+  CASE WHEN degenerate THEN NULL WHEN nx1 < nx2 AND ny1 < ny2 THEN nx2 ELSE x2 END AS crop_x2,
+  CASE WHEN degenerate THEN NULL WHEN nx1 < nx2 AND ny1 < ny2 THEN ny2 ELSE y2 END AS crop_y2
+FROM padded2 ORDER BY partkey
+"""
+
+
+@register("q13_optimal_crop", _q13_sql())
+def q13(spark, sf_dir):
+    """H6 optimal window + H7 padding end-to-end over synthetic canvases —
+    the exact Column pipeline the pages extraction uses (window_geometry),
+    cross-validated against a from-scratch SQL transcription."""
+    from py_image_toolkit_spark.operators.select import window_geometry
+
+    p = t(spark, sf_dir, "part")
+    base = p.select(
+        F.col("p_partkey").alias("partkey"),
+        (F.col("p_partkey") % 1900 + 100).cast("long").alias("canvas_w"),
+        ((F.col("p_size") * 53) % 1000 + 100).cast("long").alias("canvas_h"),
+        F.when(F.col("p_partkey") % 2 == 0, "thirds").otherwise("golden").alias("rule"),
+    ).withColumns(
+        {
+            "cx": (F.col("partkey") * 13 % F.col("canvas_w")).cast("long"),
+            "cy": (F.col("partkey") * 29 % F.col("canvas_h")).cast("long"),
+        }
+    )
+    aspect = F.when(F.col("partkey") % 3 == 0, F.lit(16.0 / 9.0)).otherwise(
+        F.col("canvas_w") * 1.0 / F.col("canvas_h")
+    )
+    out = window_geometry(base, aspect, padding_percent=10.0)
+    return out.select(
+        "partkey", "rule", "tx", "ty", "crop_x1", "crop_y1", "crop_x2", "crop_y2"
+    ).orderBy("partkey")
+
+
+@register(
+    "q14_ratio_parse",
+    """
+    WITH base AS (
+      SELECT p_partkey AS partkey,
+        CASE p_partkey % 5
+          WHEN 0 THEN CONCAT(CAST(p_size AS VARCHAR), ':', CAST(p_partkey % 9 AS VARCHAR))
+          WHEN 1 THEN '1.5'
+          WHEN 2 THEN 'none'
+          WHEN 3 THEN 'abc'
+          ELSE CONCAT('-', CAST(p_size AS VARCHAR)) END AS ratio_str
+      FROM part
+    ), parsed AS (
+      SELECT partkey, ratio_str,
+        CASE
+          WHEN LOWER(TRIM(ratio_str)) = 'none' THEN NULL
+          WHEN POSITION(':' IN ratio_str) > 0 THEN
+            CASE WHEN TRY_CAST(SPLIT_PART(ratio_str, ':', 1) AS DOUBLE) > 0
+                  AND TRY_CAST(SPLIT_PART(ratio_str, ':', 2) AS DOUBLE) > 0
+                 THEN TRY_CAST(SPLIT_PART(ratio_str, ':', 1) AS DOUBLE)
+                      / TRY_CAST(SPLIT_PART(ratio_str, ':', 2) AS DOUBLE)
+            END
+          WHEN TRY_CAST(ratio_str AS DOUBLE) > 0 THEN TRY_CAST(ratio_str AS DOUBLE)
+        END AS ratio
+      FROM base
+    )
+    SELECT partkey, ratio_str,
+           CAST(CASE WHEN ratio IS NULL THEN NULL
+                ELSE FLOOR(ratio * 1000000 + 0.5) END AS BIGINT) AS ratio_micro
+    FROM parsed ORDER BY partkey
+    """,
+)
+def q14(spark, sf_dir):
+    """B7 aspect-ratio string parser as Columns: "W:H" | float | none |
+    invalid → NULL (reference crop.py:69-96)."""
+    p = t(spark, sf_dir, "part")
+    base = p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.when(F.col("p_partkey") % 5 == 0,
+               F.concat_ws(":", F.col("p_size").cast("string"),
+                           (F.col("p_partkey") % 9).cast("string")))
+        .when(F.col("p_partkey") % 5 == 1, F.lit("1.5"))
+        .when(F.col("p_partkey") % 5 == 2, F.lit("none"))
+        .when(F.col("p_partkey") % 5 == 3, F.lit("abc"))
+        .otherwise(F.concat(F.lit("-"), F.col("p_size").cast("string")))
+        .alias("ratio_str"),
+    )
+    s = F.col("ratio_str")
+    num = F.split(s, ":")[0].try_cast("double")
+    den = F.split(s, ":")[1].try_cast("double")
+    ratio = (
+        F.when(F.lower(F.trim(s)) == "none", F.lit(None).cast("double"))
+        .when(s.contains(":"), F.when((num > 0) & (den > 0), num / den))
+        .when(s.try_cast("double") > 0, s.try_cast("double"))
+    )
+    return base.withColumn(
+        "ratio_micro",
+        F.floor(ratio * 1000000 + F.lit(0.5)).cast("long"),
+    ).orderBy("partkey")
+
+
+# --------------------------------------------------------------------------
+# C. E3 relational labeling cross-validated in SQL (the reference's hardest
+#    logic — ocr.py:135-432 — as DataFrame ops vs a DuckDB transcription)
+# --------------------------------------------------------------------------
+
+from py_image_toolkit_spark.functions import vocab as V  # noqa: E402
+from py_image_toolkit_spark.operators.extract_fields import (  # noqa: E402
+    label_pass1,
+    label_tokens_df,
+    merge_runs_df,
+    pivot_fields_df,
+)
+
+# 24-token vocabulary hitting every classifier rule (incl. quirks: vetoed
+# name 홍길동, filler 부가정보, "만료일" contains 로 → address, road guard)
+_E3_VOCAB = (
+    "주민등록증", "김첨지", "홍길동", "123456-1234567", "9901011234567",
+    "서울특별시", "종로구", "수표로", "12", "2021", "03", "05",
+    "종로구청장", "부가정보", "the", "value", "서울고등학교", "한국대학교",
+    "101동", "1502호", "123-456", "여권", "만료일", "07",
+)
+
+
+def _e3_tokens_spark(spark, sf_dir) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("doc_id").orderBy(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )  # (partkey, suppkey) break ties so equal seq ⇒ equal token
+    vocab_arr = F.array(*[F.lit(v) for v in _E3_VOCAB])
+    return (
+        li.withColumn("doc_id", (F.col("l_orderkey") % 500).cast("long"))
+        .withColumn("seq", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "token",
+            F.element_at(
+                vocab_arr,
+                ((F.col("l_partkey") * 7 + F.col("l_suppkey") * 3 + F.col("l_linenumber")) % 24 + 1).cast("int"),
+            ),
+        )
+        .select("doc_id", "seq", "token")
+    )
+
+
+_E3_TOKENS_SQL = f"""
+  SELECT CAST(l_orderkey % 500 AS BIGINT) AS doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey % 500
+                                 ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS BIGINT) AS seq,
+         CASE CAST((l_partkey * 7 + l_suppkey * 3 + l_linenumber) % 24 AS INTEGER)
+           {' '.join(f"WHEN {i} THEN '{v}'" for i, v in enumerate(_E3_VOCAB))}
+         END AS token
+  FROM lineitem
+"""
+
+
+def _sql_contains_any(col: str, kws) -> str:
+    return "(" + " OR ".join(f"POSITION('{k}' IN {col}) > 0" for k in kws) + ")"
+
+
+def _sql_endswith_any(col: str, sfxs) -> str:
+    return "(" + " OR ".join(f"{col} LIKE '%{s}'" for s in sfxs) + ")"
+
+
+def _sql_label_pass1() -> str:
+    tok = "token"
+    is_title = "(" + " OR ".join(f"{tok} = '{k}'" for k in V.DOC_TITLE_KEYWORDS) + ")"
+    is_rrn = (
+        f"(regexp_full_match({tok}, '{V.RRN_DASHED_RE}') OR "
+        f"regexp_full_match(replace(replace({tok}, '-', ''), ' ', ''), '{V.RRN_PLAIN_RE}'))"
+    )
+    is_issuer = (
+        f"({_sql_endswith_any(tok, V.ISSUER_SUFFIXES)} OR "
+        f"({_sql_contains_any(tok, V.ISSUER_ORG_KEYWORDS)} AND {_sql_endswith_any(tok, V.ISSUER_ORG_SUFFIXES)}) OR "
+        f"POSITION('학교장' IN {tok}) > 0 OR "
+        f"({tok} LIKE '%학교' AND POSITION('대학교' IN {tok}) = 0))"
+    )
+    is_date = (
+        f"(regexp_full_match({tok}, '{V.YEAR_RE}') OR "
+        f"regexp_full_match({tok}, '{V.MONTH_RE}') OR "
+        f"regexp_full_match({tok}, '{V.DAY_RE}'))"
+    )
+    road_guard = (
+        f"(prev_token IS NOT NULL AND {_sql_contains_any('prev_token', V.ROAD_KEYWORDS)} "
+        f"AND regexp_full_match({tok}, '[0-9]+') AND LENGTH({tok}) <= 2)"
+    )
+    is_addressish = (
+        f"({_sql_contains_any(tok, V.ADDRESS_KEYWORDS)} OR "
+        f"regexp_matches({tok}, '{V.ADDR_UNIT_RE}') OR "
+        f"regexp_matches({tok}, '{V.ADDR_ROAD_RE}') OR "
+        f"regexp_matches({tok}, '{V.ADDR_SUFFIX_RE}') OR "
+        f"regexp_matches({tok}, '{V.ADDR_NUMERIC_RE}') OR "
+        f"(LENGTH(regexp_split_to_array(TRIM({tok}), '\\s+')) > 1 AND "
+        f"{_sql_contains_any(tok, V.MULTIWORD_ADDRESS_KEYWORDS)}))"
+    )
+    short_digit = f"(regexp_full_match({tok}, '[0-9]+') AND LENGTH({tok}) <= 2)"
+    clear = _sql_contains_any(tok, V.CLEAR_ADDRESS_INDICATORS)
+    return f"""
+    SELECT doc_id, seq, token,
+      CASE
+        WHEN {is_title} THEN 'document_title'
+        WHEN {is_rrn} THEN 'rrn'
+        WHEN {is_issuer} THEN 'issuer'
+        WHEN {is_date} AND NOT COALESCE({road_guard}, FALSE) THEN 'issue_date'
+        WHEN {is_addressish} AND NOT ({short_digit} AND NOT {clear}) THEN 'address'
+        ELSE 'O'
+      END AS label
+    FROM (
+      SELECT *, LAG(token) OVER (PARTITION BY doc_id ORDER BY seq) AS prev_token
+      FROM toks
+    )
+    """
+
+
+def _sql_label_full() -> str:
+    """pass1 + name inference + neighbor relabel, as chained CTEs."""
+    name_pat = "regexp_full_match(token, '[가-힣]{2,5}')"
+    veto = _sql_contains_any("token", V.NAME_VETO_KEYWORDS)
+    return f"""
+    WITH toks AS ({_E3_TOKENS_SQL}),
+    p1 AS ({_sql_label_pass1()}),
+    anch1 AS (
+      SELECT *, MIN(CASE WHEN label = 'document_title' THEN seq END)
+                  OVER (PARTITION BY doc_id) AS title_seq
+      FROM p1
+    ),
+    anch2 AS (
+      SELECT *, MIN(CASE WHEN label = 'rrn' AND seq > title_seq THEN seq END)
+                  OVER (PARTITION BY doc_id) AS rrn_seq
+      FROM anch1
+    ),
+    elig AS (
+      SELECT *,
+        CASE WHEN title_seq IS NOT NULL AND rrn_seq IS NOT NULL AND
+          CASE WHEN rrn_seq = title_seq + 2
+            THEN seq = title_seq + 1 AND {name_pat} AND NOT {veto}
+                 AND label NOT IN ('document_title', 'rrn', 'issuer')
+            ELSE seq > title_seq AND seq < rrn_seq
+                 AND label IN ('O', 'address', 'issue_date')
+                 AND {name_pat} AND NOT {veto}
+                 AND NOT (label = 'address' AND LENGTH(token) > 5)
+          END
+        THEN TRUE ELSE FALSE END AS is_elig
+      FROM anch2
+    ),
+    winner AS (
+      SELECT *, MIN(CASE WHEN is_elig THEN seq END)
+                  OVER (PARTITION BY doc_id) AS name_seq
+      FROM elig
+    ),
+    named AS (
+      SELECT doc_id, seq, token,
+             CASE WHEN seq = name_seq THEN 'name' ELSE label END AS label
+      FROM winner
+    ),
+    relabeled AS (
+      SELECT doc_id, seq, token,
+        CASE WHEN label IN ('address', 'O')
+                  AND LEAD(label) OVER (PARTITION BY doc_id ORDER BY seq) = 'issuer'
+                  AND {_sql_contains_any("token", V.REGION_KEYWORDS)}
+                  AND LENGTH(token) < 10
+             THEN 'issuer' ELSE label END AS label
+      FROM named
+    )
+    """
+
+
+@register(
+    "q15_label_first_pass",
+    f"WITH toks AS ({_E3_TOKENS_SQL}) {_sql_label_pass1()} ORDER BY doc_id, seq",
+)
+def q15(spark, sf_dir):
+    """H9-H14 + C4: the per-token classifier as one Column when-chain over
+    broadcast keyword literals, vs a full SQL transcription."""
+    return label_pass1(_e3_tokens_spark(spark, sf_dir), keys=("doc_id",)).orderBy(
+        "doc_id", "seq"
+    )
+
+
+@register(
+    "q16_label_full",
+    _sql_label_full() + "SELECT doc_id, seq, token, label FROM relabeled ORDER BY doc_id, seq",
+)
+def q16(spark, sf_dir):
+    """Full labeling: pass1 → C2 name inference (fast path + greedy scan,
+    quirks preserved) → C3 neighbor relabel."""
+    return label_tokens_df(_e3_tokens_spark(spark, sf_dir), keys=("doc_id",)).orderBy(
+        "doc_id", "seq"
+    )
+
+
+_Q17_MERGE_SQL = f"""
+, seg0 AS (
+  SELECT *, CASE WHEN LAG(label) OVER w IS NULL OR LAG(label) OVER w <> label
+                 THEN 1 ELSE 0 END AS chg
+  FROM relabeled
+  WINDOW w AS (PARTITION BY doc_id ORDER BY seq)
+),
+seg AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY doc_id ORDER BY seq) AS segment
+  FROM seg0
+),
+chunked AS (
+  SELECT *,
+    CASE WHEN label = 'issue_date'
+         THEN CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY doc_id, segment ORDER BY seq) - 1) / 3) AS BIGINT)
+         WHEN label IN ('address', 'issuer') THEN 0
+         ELSE ROW_NUMBER() OVER (PARTITION BY doc_id, segment ORDER BY seq) END AS chunk
+  FROM seg
+),
+date_groups AS (
+  SELECT doc_id, segment, chunk, COUNT(*) AS n, MIN(seq) AS seq0,
+         MAX(CASE WHEN rn = 1 THEN token END) AS t1,
+         MAX(CASE WHEN rn = 2 THEN token END) AS t2,
+         MAX(CASE WHEN rn = 3 THEN token END) AS t3
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, segment, chunk ORDER BY seq) AS rn
+        FROM chunked WHERE label = 'issue_date')
+  GROUP BY doc_id, segment, chunk
+),
+date_ok AS (
+  SELECT *, (n = 3 AND regexp_full_match(t1, '{V.YEAR_RE}')
+                  AND regexp_full_match(t2, '{V.MONTH_RE}')
+                  AND regexp_full_match(t3, '{V.DAY_RE}')) AS ok
+  FROM date_groups
+),
+mstream AS (
+  SELECT doc_id, MIN(seq) AS seq,
+         STRING_AGG(token, ' ' ORDER BY seq) AS text, label
+  FROM chunked WHERE label IN ('address', 'issuer')
+  GROUP BY doc_id, segment, chunk, label
+  UNION ALL
+  SELECT doc_id, seq0 AS seq, CONCAT(t1, '.', t2, '.', t3) AS text,
+         'issue_date' AS label
+  FROM date_ok WHERE ok
+  UNION ALL
+  SELECT c.doc_id, c.seq, c.token AS text, c.label
+  FROM chunked c JOIN date_ok d
+    ON c.doc_id = d.doc_id AND c.segment = d.segment AND c.chunk = d.chunk
+  WHERE c.label = 'issue_date' AND NOT d.ok
+  UNION ALL
+  SELECT doc_id, seq, token AS text, label
+  FROM chunked WHERE label NOT IN ('address', 'issuer', 'issue_date')
+)
+"""
+
+
+@register(
+    "q17_merge_pivot",
+    _sql_label_full()
+    + _Q17_MERGE_SQL
+    + """
+, qual AS (
+  SELECT *, (label <> 'issue_date' OR (POSITION('.' IN text) > 0
+             AND LENGTH(string_split(text, '.')) = 3)) AS ok_field
+  FROM mstream
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, label, ok_field ORDER BY seq) AS rn
+  FROM qual
+)
+SELECT doc_id,
+  MAX(CASE WHEN label = 'document_title' AND ok_field AND rn = 1 THEN text END) AS document_title,
+  MAX(CASE WHEN label = 'name'           AND ok_field AND rn = 1 THEN text END) AS name,
+  MAX(CASE WHEN label = 'address'        AND ok_field AND rn = 1 THEN text END) AS address,
+  MAX(CASE WHEN label = 'rrn'            AND ok_field AND rn = 1 THEN text END) AS rrn,
+  MAX(CASE WHEN label = 'issue_date'     AND ok_field AND rn = 1 THEN text END) AS issue_date,
+  MAX(CASE WHEN label = 'issuer'         AND ok_field AND rn = 1 THEN text END) AS issuer
+FROM ranked GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q17(spark, sf_dir):
+    """D5/D6 run-merge + D4 first-wins pivot → one 6-field record per doc."""
+    labeled = label_tokens_df(_e3_tokens_spark(spark, sf_dir), keys=("doc_id",))
+    merged = merge_runs_df(labeled, keys=("doc_id",))
+    return pivot_fields_df(merged, keys=("doc_id",)).orderBy("doc_id")

@@ -120,13 +120,17 @@ def _rule_point_exprs(rule: Column, w: Column, h: Column) -> list[tuple[Column, 
     return pts
 
 
-def compute_windows_df(main: DataFrame, cfg: ExtractConfig) -> DataFrame:
-    """Rule fan-out (1 url → k rules) + H6/H7 window geometry → per
-    (url, rule) crop rect (nullable on degenerate windows)."""
-    ratio = parse_ratio(cfg.ratio)
-
-    fanned = main.withColumn("rule", F.explode(F.array(*[F.lit(r) for r in cfg.rules])))
-
+def window_geometry(
+    fanned: DataFrame,
+    aspect: Column | None,
+    padding_percent: float = 0.0,
+) -> DataFrame:
+    """H3-H7 window geometry over columns (canvas_w, canvas_h, cx, cy, rule):
+    rule points → closest point → optimal aspect-fitted window → clamp →
+    optional padding. Adds nullable crop_x1/crop_y1/crop_x2/crop_y2 (null =
+    degenerate window). ``aspect=None`` → original canvas ratio (reference
+    crop.py:279-281). Reused by the pages pipeline and the driver-contract
+    geometry queries."""
     w = F.col("canvas_w").cast("double")
     h = F.col("canvas_h").cast("double")
     rule = F.col("rule")
@@ -163,10 +167,7 @@ def compute_windows_df(main: DataFrame, cfg: ExtractConfig) -> DataFrame:
         .withColumn("ty", ty_expr)
         .withColumn("max_w_t", 2 * F.least(F.col("tx"), F.col("canvas_w") - F.col("tx")))
         .withColumn("max_h_t", 2 * F.least(F.col("ty"), F.col("canvas_h") - F.col("ty")))
-        .withColumn(
-            "aspect",
-            F.lit(float(ratio)) if ratio is not None else (w / h),
-        )
+        .withColumn("aspect", aspect if aspect is not None else (w / h))
         .withColumn("crop_h_from_w", F.col("max_w_t") / F.col("aspect"))
         .withColumn("wide_fits", F.col("crop_h_from_w") <= F.col("max_h_t") + F.lit(1e-6))
         .withColumn(
@@ -203,8 +204,8 @@ def compute_windows_df(main: DataFrame, cfg: ExtractConfig) -> DataFrame:
         .withColumn("_y2", F.when(~F.col("degenerate"), F.col("y2c")))
     )
 
-    if cfg.padding_percent > 0:
-        pct = F.lit(float(cfg.padding_percent))
+    if padding_percent > 0:
+        pct = F.lit(float(padding_percent))
         px1, py1, px2, py2 = F.col("_x1"), F.col("_y1"), F.col("_x2"), F.col("_y2")
         pad_x = _iround((px2 - px1) * pct / 100.0 / 2.0)
         pad_y = _iround((py2 - py1) * pct / 100.0 / 2.0)
@@ -222,11 +223,34 @@ def compute_windows_df(main: DataFrame, cfg: ExtractConfig) -> DataFrame:
             .withColumnsRenamed({"_nx1": "_x1", "_ny1": "_y1", "_nx2": "_x2", "_ny2": "_y2"})
         )
 
+    temps = (
+        [f"px{i}" for i in range(4)] + [f"py{i}" for i in range(4)]
+        + [f"d{i}" for i in range(4)]
+        + ["dbest", "max_w_t", "max_h_t", "aspect", "crop_h_from_w", "wide_fits",
+           "fw", "fh", "x1_raw", "y1_raw", "x1c", "y1c", "x2c", "y2c", "degenerate"]
+    )
+    out = out.drop(*temps)  # tx/ty kept: the chosen rule point is useful output
+    return (
+        out.withColumnRenamed("_x1", "crop_x1")
+        .withColumnRenamed("_y1", "crop_y1")
+        .withColumnRenamed("_x2", "crop_x2")
+        .withColumnRenamed("_y2", "crop_y2")
+    )
+
+
+def compute_windows_df(main: DataFrame, cfg: ExtractConfig) -> DataFrame:
+    """Rule fan-out (1 url → k rules, ≙ crop.py:526-533) + window geometry →
+    per (url, rule) crop rect (nullable on degenerate windows)."""
+    ratio = parse_ratio(cfg.ratio)
+    fanned = main.withColumn("rule", F.explode(F.array(*[F.lit(r) for r in cfg.rules])))
+    out = window_geometry(
+        fanned,
+        F.lit(float(ratio)) if ratio is not None else None,
+        cfg.padding_percent,
+    )
     return out.select(
         "url", "rule", "main_block_id", "canvas_w", "canvas_h", "n_blocks",
-        "encoding", "dec_message",
-        F.col("_x1").alias("crop_x1"), F.col("_y1").alias("crop_y1"),
-        F.col("_x2").alias("crop_x2"), F.col("_y2").alias("crop_y2"),
+        "encoding", "dec_message", "crop_x1", "crop_y1", "crop_x2", "crop_y2",
     )
 
 
