@@ -910,3 +910,342 @@ def q17(spark, sf_dir):
     labeled = label_tokens_df(_e3_tokens_spark(spark, sf_dir), keys=("doc_id",))
     merged = merge_runs_df(labeled, keys=("doc_id",))
     return pivot_fields_df(merged, keys=("doc_id",)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# D. training-data pipeline operators: dedup / similarity / text analysis
+#    (documents are all-unique in the fixture → duplicates are synthesized
+#    deterministically inside the query, identically in both engines)
+# --------------------------------------------------------------------------
+
+from py_image_toolkit_spark.operators import dedup as D  # noqa: E402
+from py_image_toolkit_spark.operators import similarity as S  # noqa: E402
+from py_image_toolkit_spark.operators import text_stats as T  # noqa: E402
+
+_DOCS_SQL = """
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 20000 AS doc_id, text || ' zz near dup tail' AS text
+  FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+_SHINGLES_SQL = """
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+  FROM docs
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(arr[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, len(arr) - 2)) AS t(i)
+  WHERE len(arr) >= 3
+)
+"""
+
+
+def _docs_df(spark, sf_dir) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz near dup tail")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+@register(
+    "q18_dedup_exact",
+    f"""
+    WITH {_DOCS_SQL}
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_dups
+    FROM docs GROUP BY md5(text) HAVING COUNT(*) >= 2
+    ORDER BY canonical_id
+    """,
+)
+def q18(spark, sf_dir):
+    """exact dedup: content-hash groupBy (the 100 TB baseline dedup)."""
+    return D.exact_dedup(_docs_df(spark, sf_dir)).orderBy("canonical_id")
+
+
+@register(
+    "q19_ngram_jaccard",
+    f"""
+    WITH {_DOCS_SQL}, {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           CAST(FLOOR(inter * 1000000.0 / (sa.sz + sb.sz - inter) + 0.5) AS BIGINT) AS jaccard_micro
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE FLOOR(inter * 1000000.0 / (sa.sz + sb.sz - inter) + 0.5) >= 500000
+    ORDER BY id_a, id_b
+    """,
+)
+def q19(spark, sf_dir):
+    """n-gram Jaccard near-dup: shingle equijoin + group-count (exact
+    verifier; finds both the exact and the tail-appended near duplicates)."""
+    shingles = D.shingle_df(_docs_df(spark, sf_dir), k=3)
+    return D.jaccard_pairs(shingles, min_jaccard=0.5).orderBy("id_a", "id_b")
+
+
+def _q20_sql(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    sig_cols = ", ".join(
+        f"MIN(md5(CONCAT('{j}|', shingle))) AS sig_{j}" for j in range(num_hashes)
+    )
+    n_bands = num_hashes // rows_per_band
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(CONCAT(sig_{b * rows_per_band}, sig_{b * rows_per_band + 1})) AS bucket FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH {_DOCS_SQL}, {_SHINGLES_SQL},
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    banded AS ({band_selects})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """
+
+
+@register("q20_minhash_lsh", _q20_sql())
+def q20(spark, sf_dir):
+    """MinHash+LSH candidate pairs: shingle → 8 min-wise hashes → 4 bands →
+    bucket self-join (the scale path: no O(n²) cross join)."""
+    shingles = D.shingle_df(_docs_df(spark, sf_dir), k=3)
+    sigs = D.minhash_signatures(shingles, num_hashes=8)
+    return D.lsh_band_pairs(sigs, num_hashes=8, rows_per_band=2).orderBy("id_a", "id_b")
+
+
+def _q21_sql(bits: int = 16) -> str:
+    nib_case = lambda n: (  # noqa: E731
+        "CASE "
+        + " ".join(
+            f"WHEN SUBSTRING(md5(tok), {n + 1}, 1) = '{c}' THEN {v}"
+            for v, c in enumerate("0123456789abcdef")
+        )
+        + " ELSE 0 END"
+    )
+    votes = ", ".join(
+        f"SUM((CAST(FLOOR(nib{b // 4} / {2 ** (b % 4)}) AS BIGINT) % 2) * 2 - 1) AS v{b}"
+        for b in range(bits)
+    )
+    sim = " + ".join(f"CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(bits))
+    return f"""
+    WITH {_DOCS_SQL},
+    toks AS (
+      SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
+      FROM docs
+    ),
+    nibs AS (
+      SELECT doc_id, {nib_case(0)} AS nib0, {nib_case(1)} AS nib1,
+             {nib_case(2)} AS nib2, {nib_case(3)} AS nib3
+      FROM toks
+    ),
+    votes AS (SELECT doc_id, {votes} FROM nibs GROUP BY doc_id)
+    SELECT doc_id, CAST({sim} AS BIGINT) AS simhash
+    FROM votes ORDER BY doc_id
+    """
+
+
+@register("q21_simhash", _q21_sql())
+def q21(spark, sf_dir):
+    """16-bit SimHash per document (md5-nibble bits, majority vote)."""
+    return D.simhash_df(_docs_df(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "q22_ann_cosine_topk",
+    """
+    WITH probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id < 5),
+    corpus AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id >= 5),
+    scored AS (
+      SELECT probe_id, corpus_id,
+        CAST(FLOOR(list_dot_product(pv, cv)
+             / (SQRT(list_dot_product(pv, pv)) * SQRT(list_dot_product(cv, cv)))
+             * 1000000 + 0.5) AS BIGINT) AS cos_micro
+      FROM probes, corpus
+    )
+    SELECT probe_id, rank, corpus_id, cos_micro FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_micro DESC, corpus_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY probe_id, rank
+    """,
+)
+def q22(spark, sf_dir):
+    """brute-force cosine top-k (exact ANN baseline): broadcast probes ×
+    corpus, sequential-fold dot products, row_number top-k."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5), k=10
+    ).orderBy("probe_id", "rank")
+
+
+@register(
+    "q23_ann_lsh_bucketed",
+    """
+    WITH coded AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding,
+        CAST((CASE WHEN embedding[1]  >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[9]  >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[25] >= 0 THEN 8 ELSE 0 END) AS INTEGER) AS bucket
+      FROM embeddings
+    ),
+    probes AS (SELECT vec_id AS probe_id, embedding AS pv, bucket FROM coded WHERE vec_id < 5),
+    corpus AS (SELECT vec_id AS corpus_id, embedding AS cv, bucket FROM coded WHERE vec_id >= 5),
+    scored AS (
+      SELECT probe_id, corpus_id,
+        CAST(FLOOR(list_dot_product(pv, cv)
+             / (SQRT(list_dot_product(pv, pv)) * SQRT(list_dot_product(cv, cv)))
+             * 1000000 + 0.5) AS BIGINT) AS cos_micro
+      FROM probes JOIN corpus USING (bucket)
+    )
+    SELECT probe_id, rank, corpus_id, cos_micro FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_micro DESC, corpus_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY probe_id, rank
+    """,
+)
+def q23(spark, sf_dir):
+    """sign-LSH bucketed ANN (the scale path: bucket-equijoin prunes the
+    candidate set ~2^bits before any dot product)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh(
+        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5), k=10
+    ).orderBy("probe_id", "rank")
+
+
+@register(
+    "q24_lang_id",
+    f"""
+    SELECT doc_id,
+      CAST(len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+           x -> x IN ({', '.join(repr(w) for w in T.EN_STOPWORDS)}))) AS INTEGER) AS en_hits,
+      CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[가-힣]', '', 'g')) AS BIGINT) AS ko_chars,
+      CASE WHEN (LENGTH(text) - LENGTH(regexp_replace(text, '[가-힣]', '', 'g')))
+                > len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                      x -> x IN ({', '.join(repr(w) for w in T.EN_STOPWORDS)}))) * 2 THEN 'ko'
+           WHEN len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                x -> x IN ({', '.join(repr(w) for w in T.EN_STOPWORDS)}))) > 0 THEN 'en'
+           ELSE 'und' END AS pred_lang
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q24(spark, sf_dir):
+    """language-ID heuristic (stopword hits vs Hangul character mass)."""
+    return T.lang_id(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "q25_quality_score",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+        CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+        CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct,
+        CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        CAST(len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+             x -> x IN ({', '.join(repr(w) for w in T.EN_STOPWORDS)}))) AS BIGINT) AS n_stopwords
+      FROM documents
+    ), derived AS (
+      SELECT *,
+        CAST(FLOOR((n_chars - (n_tokens - 1)) * 1000000.0 / GREATEST(n_tokens, 1) + 0.5) AS BIGINT) AS mean_tok_len_micro,
+        CAST(FLOOR(n_punct * 1000000.0 / GREATEST(n_chars, 1) + 0.5) AS BIGINT) AS punct_ratio_micro,
+        CAST(FLOOR(n_stopwords * 1000000.0 / GREATEST(n_tokens, 1) + 0.5) AS BIGINT) AS stop_ratio_micro
+      FROM base
+    )
+    SELECT doc_id, n_chars, n_tokens, n_punct, n_digits, n_stopwords,
+           mean_tok_len_micro, punct_ratio_micro, stop_ratio_micro,
+           CAST(LEAST(n_chars, 500) * 1000 + stop_ratio_micro - punct_ratio_micro
+                - n_digits * 100 AS BIGINT) AS quality_score
+    FROM derived ORDER BY doc_id
+    """,
+)
+def q25(spark, sf_dir):
+    """curation quality features + composite score."""
+    return T.quality_score(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "q26_token_stats_fingerprint",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(arr) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '{T.BPE_RE}')) AS BIGINT) AS bpe_tokens,
+      CAST(len(list_distinct(arr)) AS BIGINT) AS distinct_ws_tokens,
+      CASE WHEN len(arr) >= 3 THEN
+        array_to_string(
+          (list_sort(list_distinct([md5(array_to_string(arr[i:i+2], ' '))
+                                    FOR i IN generate_series(1, len(arr) - 2)])))[1:3], '|')
+      END AS fingerprint
+    FROM toks ORDER BY doc_id
+    """,
+)
+def q26(spark, sf_dir):
+    """token budgeting (whitespace + BPE-ish lexer) + bottom-k fingerprint."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        T.token_stats(d)
+        .join(T.fingerprint(d), "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# E. flagship: the full extraction pipeline over pages built from the
+#    driver's documents table (rows-only driver check; byte-parity vs the
+#    pure-Python oracle is asserted by pytest on the synthetic pages fixture)
+# --------------------------------------------------------------------------
+
+def pages_from_documents(spark, sf_dir) -> DataFrame:
+    """Wrap each documents.text row into a deterministic HTML page —
+    Column-only; gives the E1→E3 pipeline a driver-table input."""
+    d = t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><meta charset="utf-8"><title>doc</title>'
+              "<style>b{}</style></head><body>"
+              '<header><nav><a href="/">home</a> <a href="/about">about</a></nav></header>'
+              "<article>"),
+        F.col("text"),
+        F.lit("</article><footer>copyright <a href='/t'>terms</a></footer></body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("https://docs.example/"), F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+@register("q27_extract_pipeline")  # rows-only: not SQL-expressible end-to-end
+def q27(spark, sf_dir):
+    """E1 decode → E2 segment/select/window → E3 label/merge/pivot over a
+    pages table derived from documents (SURVEY.md §0.1 stages D+E1-E4).
+    Correctness gate: tests/test_engine_parity.py byte-parity vs oracle;
+    the geometry and labeling internals are SQL-verified by q12-q17."""
+    from py_image_toolkit_spark.plans.pipeline import extract
+
+    return extract(pages_from_documents(spark, sf_dir))

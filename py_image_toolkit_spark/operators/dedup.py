@@ -1,0 +1,233 @@
+"""Deduplication operators for large-scale text corpora.
+
+All variants are pure Column/DataFrame code (JVM-side, no Python on the hot
+path) and are keyed so the heavy stages shuffle once on the doc key:
+
+- exact_dedup        : md5 content hash → groupBy (the hash-groupBy baseline)
+- shingle_df         : word k-gram shingles (explode via sequence/transform)
+- minhash_signatures : lexicographic-min of md5(seed‖shingle) per seed — a
+                       valid min-wise hash family that is reproducible across
+                       engines (no platform-specific hash())
+- lsh_band_pairs     : banding over the signature → candidate pairs via a
+                       bucket self-join (the 100 TB-scale path: candidates
+                       only, never the full O(n²) cross join)
+- jaccard_pairs      : exact k-shingle Jaccard via shingle-equijoin +
+                       group-count (verification stage for LSH candidates;
+                       standalone it is the small-scale exact method)
+- simhash_df         : 16-bit SimHash over word tokens (md5-nibble bits,
+                       majority vote per bit), plus hamming-close pairs
+- embedding_neardup_pairs : cosine ≥ threshold pairs over embeddings
+
+Scale notes (100 TB): shingling multiplies rows ~L×; minhash/banding reduce
+to O(n·bands) bucket keys; the bucket self-join is the only shuffle that
+grows with corpus size and AQE skew-split handles hot buckets. The exact
+jaccard verifier runs only on candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _md5(col: Column) -> Column:
+    return F.md5(F.encode(col, "UTF-8"))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (content_hash, canonical_id, n_dups≥2)."""
+    return (
+        df.select(F.col(id_col), _md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def tokens_array(text_col: Column) -> Column:
+    return F.filter(F.split(text_col, r"\s+"), lambda x: x != "")
+
+
+def shingle_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — distinct word k-grams per document."""
+    arr = tokens_array(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(arr) - (k - 1)),
+        lambda i: F.array_join(F.slice(arr, i, k), " "),
+    )
+    return (
+        df.select(F.col(id_col), sh.alias("shingles"))
+        .filter(F.size("shingles") >= 1)
+        .select(id_col, F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = 8) -> DataFrame:
+    """One row per doc: sig_0..sig_{n-1} = min md5(seed‖shingle) strings."""
+    aggs = [
+        F.min(_md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"sig_{j}")
+        for j in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_band_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", num_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket → distinct candidate pairs
+    (id_a < id_b)."""
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                _md5(
+                    F.concat(
+                        *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact k-shingle Jaccard for pairs sharing ≥1 shingle (optionally
+    restricted to LSH candidate pairs). Output jaccard as micro-units
+    (exact integer arithmetic → cross-engine reproducible)."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard_micro",
+            F.floor(
+                F.col("inter") * 1000000.0 / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_micro") >= int(min_jaccard * 1_000_000))
+    )
+    return out.select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard_micro")
+
+
+def simhash_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """16-bit SimHash: per word token, bits from the first 4 md5 nibbles;
+    per-bit majority vote over the document."""
+    toks = df.select(F.col(id_col), F.explode(tokens_array(F.col(text_col))).alias("tok"))
+    h = _md5(F.col("tok"))
+    nib_src = "0123456789abcdef"
+    nibble_val = [None] * 4
+    for n in range(4):
+        c = F.substring(h, n + 1, 1)
+        v = F.lit(0)
+        for digit, ch in enumerate(nib_src):
+            v = F.when(c == ch, digit).otherwise(v)
+        nibble_val[n] = v
+    toks = toks.select(
+        id_col, *[nibble_val[n].alias(f"nib{n}") for n in range(4)]
+    )
+    aggs = []
+    for b in range(bits):
+        nib, pos = divmod(b, 4)
+        bit = (F.col(f"nib{nib}") / (2 ** pos)).cast("long") % 2
+        aggs.append(F.sum(bit * 2 - 1).alias(f"v{b}"))
+    votes = toks.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0)
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"v{b}") > 0, 2 ** b).otherwise(0)
+    return votes.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_close_pairs(sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 2) -> DataFrame:
+    """Hamming-close pairs over 16-bit simhashes (self-join; at scale, band
+    the 16 bits into 4 nibble-buckets first — same LSH trick)."""
+    a, b = sims.alias("a"), sims.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dot_cosine(a: Column, b: Column) -> Column:
+    """Cosine of two array<float/double> columns via a sequential left fold
+    (F.aggregate) — deterministic summation order, identical across engines."""
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", min_cos_micro: int = 990_000
+) -> DataFrame:
+    """Embedding near-duplicates: cosine ≥ threshold pairs. Brute-force pair
+    join (exact); the scale path buckets by sign-LSH first
+    (similarity.sign_lsh_bucket) and joins within buckets."""
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = dot_cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.floor(cos * 1_000_000 + F.lit(0.5)).cast("long").alias("cos_micro"),
+        )
+        .filter(F.col("cos_micro") >= min_cos_micro)
+    )

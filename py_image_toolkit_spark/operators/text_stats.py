@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data curation — all pure Columns.
+
+- lang_id        : stopword/particle-count heuristic (en/ko/und)
+- quality_score  : length, token stats, punct/digit/stopword ratios →
+                   integer-scored quality (micro-units for cross-engine hash
+                   stability)
+- token_stats    : whitespace tokens + BPE-ish regex token count
+- fingerprint    : bottom-k minhash sketch (k lexicographic-min md5 shingle
+                   hashes) — an order-independent document fingerprint
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from py_image_toolkit_spark.operators.dedup import _md5, tokens_array
+
+EN_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it")
+KO_PARTICLES = ("이", "가", "은", "는", "을", "를", "에", "의", "로", "와")
+
+# BPE-ish lexer: letter runs | digit runs | single non-space symbol
+BPE_RE = r"[A-Za-z]+|[0-9]+|[가-힣]+|[^A-Za-z0-9가-힣\s]"
+
+
+def _count_token_hits(arr, words) -> F.Column:
+    return F.size(F.filter(arr, lambda x: x.isin(*words)))
+
+
+def _count_contains(col, needles) -> F.Column:
+    total = F.lit(0)
+    for n in needles:
+        total = total + (
+            (F.length(col) - F.length(F.regexp_replace(col, n, ""))) / len(n)
+        ).cast("long")
+    return total
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """n-gram-free heuristic language ID: exact-token English stopword hits
+    vs Korean-syllable character mass."""
+    arr = tokens_array(F.col(text_col))
+    en = _count_token_hits(arr, EN_STOPWORDS)
+    ko = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "[가-힣]", "")
+    )
+    return df.select(
+        F.col(id_col),
+        en.alias("en_hits"),
+        ko.cast("long").alias("ko_chars"),
+        F.when(ko > en * 2, "ko")
+        .when(en > 0, "en")
+        .otherwise("und")
+        .alias("pred_lang"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Curation quality features + a composite score in micro-units."""
+    txt = F.col(text_col)
+    arr = tokens_array(txt)
+    n_chars = F.length(txt).cast("long")
+    n_tokens = F.size(arr).cast("long")
+    punct = (n_chars - F.length(F.regexp_replace(txt, r"[^\w\s]", ""))).cast("long")
+    digits = (n_chars - F.length(F.regexp_replace(txt, "[0-9]", ""))).cast("long")
+    stop = _count_token_hits(arr, EN_STOPWORDS).cast("long")
+
+    mean_tok_len_micro = F.floor(
+        (n_chars - (n_tokens - 1)) * 1_000_000.0 / F.greatest(n_tokens, F.lit(1))
+        + F.lit(0.5)
+    ).cast("long")
+    punct_ratio_micro = F.floor(
+        punct * 1_000_000.0 / F.greatest(n_chars, F.lit(1)) + F.lit(0.5)
+    ).cast("long")
+    stop_ratio_micro = F.floor(
+        stop * 1_000_000.0 / F.greatest(n_tokens, F.lit(1)) + F.lit(0.5)
+    ).cast("long")
+    # composite: length credit + stopword credit − punct/digit penalty
+    score = (
+        F.least(n_chars, F.lit(500)) * 1000
+        + stop_ratio_micro
+        - punct_ratio_micro
+        - digits * 100
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        punct.alias("n_punct"),
+        digits.alias("n_digits"),
+        stop.alias("n_stopwords"),
+        mean_tok_len_micro.alias("mean_tok_len_micro"),
+        punct_ratio_micro.alias("punct_ratio_micro"),
+        stop_ratio_micro.alias("stop_ratio_micro"),
+        score.cast("long").alias("quality_score"),
+    )
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace-token and BPE-ish-token counts (token budgeting)."""
+    txt = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(tokens_array(txt)).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(txt, F.lit(BPE_RE), 0)).cast("long").alias("bpe_tokens"),
+        F.size(F.array_distinct(tokens_array(txt))).cast("long").alias("distinct_ws_tokens"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3, shingle_k: int = 3
+) -> DataFrame:
+    """Bottom-k sketch: the k smallest md5(shingle) hex strings, joined —
+    an order-independent rolling fingerprint (winnowing-style)."""
+    arr = tokens_array(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(arr) - (shingle_k - 1), F.lit(0))),
+        lambda i: F.array_join(F.slice(arr, i, shingle_k), " "),
+    )
+    hashes = F.array_sort(
+        F.array_distinct(F.transform(sh, lambda s: _md5(s)))
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(F.size(arr) >= shingle_k,
+               F.array_join(F.slice(hashes, 1, k), "|")).alias("fingerprint"),
+    )
