@@ -1,0 +1,115 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, "docs_per_sec": ..., ...}
+
+The flagship number is extraction throughput: the full E1→E3 pipeline over a
+deterministic pages table sized to the scale factor, materialized to a
+parquet sink (count() alone would let Catalyst prune the expensive columns).
+Scaling evidence (local[8] vs local[32]) is produced by
+scripts/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from py_image_toolkit_spark import contract  # noqa: E402
+from py_image_toolkit_spark.config import ExtractConfig  # noqa: E402
+from py_image_toolkit_spark.fixtures import pages_df  # noqa: E402
+from py_image_toolkit_spark.plans.pipeline import extract  # noqa: E402
+from py_image_toolkit_spark.session import build_session  # noqa: E402
+
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q06_sessionize_rle",
+    "q09_topk_per_brand",
+    "q17_merge_pivot",
+    "q19_ngram_jaccard",
+    "q20_minhash_lsh",
+    "q22_ann_cosine_topk",
+    "q25_quality_score",
+]
+
+DOCS_PER_SF = 200_000  # sf0.1 → 20k pages ≙ the sf0.1 scale class
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def run_bench(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
+    sf = sf_of(sf_dir)
+    n_docs = n_docs or max(200, int(sf * DOCS_PER_SF))
+    spark = build_session(
+        f"bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g")},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # flagship: extraction throughput over a materialized pages table
+    # (read → repartition(url-hash) → E1-E3 → parquet sink). Generating the
+    # synthetic table is untimed setup — the production input is a table.
+    sink = tempfile.mkdtemp(prefix="bench_sink_")
+    try:
+        pages_path = os.path.join(sink, "pages")
+        pages_df(spark, n_docs, partitions=cpus * 2).write.mode("overwrite").parquet(
+            pages_path
+        )
+        pages = spark.read.parquet(pages_path)
+        t0 = time.time()
+        extract(pages, ExtractConfig()).write.mode("overwrite").parquet(
+            os.path.join(sink, "extractions")
+        )
+        extract_s = time.time() - t0
+        timings["extract_pipeline"] = round(extract_s, 3)
+
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            df = contract.QUERIES[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline wall: extraction pipeline + 9 operator queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / extract_s, 1),
+        "cpus": cpus,
+    }
+    spark.stop()
+    return result
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(sf_dir, cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -33,3 +33,14 @@ class ExtractConfig:
     ratio: str | None = None
     # padding percent (≙ crop.py:328-353)
     padding_percent: float = 0.0
+    # span-extraction + E3 stage: "fused" (one Arrow kernel doing the crop
+    # slicing + labeling — production default; interpreted higher-order
+    # Column lambdas lose ~10× and scale poorly across cores) or "columns"
+    # (H16 as sequence/transform/substring Columns + e3_impl below).
+    extract_impl: str = "fused"
+    # E3 implementation: "kernel" (Arrow-batched pure-Python labeling —
+    # production default, ~150× faster than interpreted Column lambdas),
+    # "arrays" (zero-shuffle higher-order Columns), "relational"
+    # (window/groupBy form — SQL-verified by contract q15-q17).
+    # All three are byte-identical (tests/test_engine_parity.py).
+    e3_impl: str = "kernel"

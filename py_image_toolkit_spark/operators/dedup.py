@@ -126,22 +126,33 @@ def jaccard_pairs(
     restricted to LSH candidate pairs). Output jaccard as micro-units
     (exact integer arithmetic → cross-engine reproducible)."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        # scale path: count intersections only for LSH candidate pairs —
+        # the filter is pushed BEFORE the shingle join (a full shingle
+        # self-join is quadratic in shared-shingle frequency)
+        a = shingles.withColumnRenamed(id_col, "id_a")
+        b = shingles.withColumnRenamed(id_col, "id_b")
+        inter = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])  # equijoin on BOTH id and shingle
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+    else:
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
     out = (
         inter.join(sizes.withColumnsRenamed({id_col: "id_a", "sz": "sz_a"}), "id_a")
         .join(sizes.withColumnsRenamed({id_col: "id_b", "sz": "sz_b"}), "id_b")

@@ -43,6 +43,17 @@ BLOCKS_SCHEMA = StructType(
         StructField("btext", StringType(), True),
         StructField("n_chars", LongType(), True),
         StructField("n_link_chars", LongType(), True),
+        # per-block layout on the virtual text canvas — emitted by the
+        # segmenter itself, ≙ the reference detector emitting bboxes
+        # (crop.py:163-171); avoids window passes over the block table
+        StructField("n_lines", LongType(), True),
+        StructField("max_w", LongType(), True),
+        StructField("start_line", LongType(), True),
+        StructField("cum_chars", LongType(), True),
+        # doc-level canvas, replicated per block row
+        StructField("canvas_w", LongType(), True),
+        StructField("canvas_h", LongType(), True),
+        StructField("n_blocks", LongType(), True),
         StructField("encoding", StringType(), True),
         StructField("dec_message", StringType(), True),
         StructField("dec_success", BooleanType(), False),
@@ -50,44 +61,80 @@ BLOCKS_SCHEMA = StructType(
 )
 
 
-def _segment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        out: dict[str, list] = {f.name: [] for f in BLOCKS_SCHEMA.fields}
+def _make_segmenter(wrap: int):
+    def _segment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in BLOCKS_SCHEMA.fields}
 
-        def emit(url, block_id, tag, btext, n_link, enc, msg, ok):
-            out["url"].append(url)
-            out["block_id"].append(block_id)
-            out["tag"].append(tag)
-            out["btext"].append(btext)
-            out["n_chars"].append(len(btext) if btext is not None else 0)
-            out["n_link_chars"].append(n_link)
-            out["encoding"].append(enc)
-            out["dec_message"].append(msg)
-            out["dec_success"].append(ok)
+            def emit_marker(url, enc, msg, ok):
+                out["url"].append(url)
+                out["block_id"].append(-1)
+                for c in ("tag", "btext"):
+                    out[c].append(None)
+                for c in ("n_chars", "n_link_chars", "n_lines", "max_w",
+                          "start_line", "cum_chars", "canvas_w", "canvas_h",
+                          "n_blocks"):
+                    out[c].append(0)
+                out["encoding"].append(enc)
+                out["dec_message"].append(msg)
+                out["dec_success"].append(ok)
 
-        for url, html in zip(pdf["url"], pdf["html"]):
-            try:
-                html_b = bytes(html) if html is not None else None
-                dec = decode_html(html_b)
-                if not dec.success:
-                    emit(url, -1, None, None, 0, dec.encoding, dec.message, False)
-                    continue
-                if html_b.startswith(PDF_MAGIC):
-                    blocks = extract_pdf_blocks(html_b)
-                else:
-                    blocks = segment_html(strip_noncontent(dec.text))
-                if not blocks:
-                    # marker row so the url still flows to the status output
-                    emit(url, -1, None, None, 0, dec.encoding, dec.message, True)
-                    continue
+            def emit_doc(url, blocks, enc, msg):
+                line = 0
+                cum = 0
+                canvas_w = 0
+                laid = []
                 for i, b in enumerate(blocks):
-                    emit(url, i, b["tag"], b["text"], b["n_link_chars"],
-                         dec.encoding, dec.message, True)
-            except Exception as e:  # noqa: BLE001 — J6 error containment
-                emit(url, -1, None, None, 0, "none", f"parse error: {type(e).__name__}: {e}", False)
-        yield pd.DataFrame(out)
+                    n_chars = len(b["text"])
+                    n_lines = (n_chars - 1) // wrap + 1
+                    max_w = wrap if n_lines > 1 else n_chars
+                    laid.append((i, b, n_chars, n_lines, max_w, line, cum))
+                    canvas_w = max(canvas_w, max_w)
+                    line += n_lines + 1
+                    cum += n_chars
+                for i, b, n_chars, n_lines, max_w, start_line, cum_chars in laid:
+                    out["url"].append(url)
+                    out["block_id"].append(i)
+                    out["tag"].append(b["tag"])
+                    out["btext"].append(b["text"])
+                    out["n_chars"].append(n_chars)
+                    out["n_link_chars"].append(b["n_link_chars"])
+                    out["n_lines"].append(n_lines)
+                    out["max_w"].append(max_w)
+                    out["start_line"].append(start_line)
+                    out["cum_chars"].append(cum_chars)
+                    out["canvas_w"].append(canvas_w)
+                    out["canvas_h"].append(line)
+                    out["n_blocks"].append(len(laid))
+                    out["encoding"].append(enc)
+                    out["dec_message"].append(msg)
+                    out["dec_success"].append(True)
+
+            for url, html in zip(pdf["url"], pdf["html"]):
+                try:
+                    html_b = bytes(html) if html is not None else None
+                    dec = decode_html(html_b)
+                    if not dec.success:
+                        emit_marker(url, dec.encoding, dec.message, False)
+                        continue
+                    if html_b.startswith(PDF_MAGIC):
+                        blocks = extract_pdf_blocks(html_b)
+                    else:
+                        blocks = segment_html(strip_noncontent(dec.text))
+                    if not blocks:
+                        emit_marker(url, dec.encoding, dec.message, True)
+                        continue
+                    emit_doc(url, blocks, dec.encoding, dec.message)
+                except Exception as e:  # noqa: BLE001 — J6 error containment
+                    emit_marker(url, "none", f"parse error: {type(e).__name__}: {e}", False)
+            yield pd.DataFrame(out)
+
+    return _segment_batches
 
 
-def segment_pages(pages: DataFrame) -> DataFrame:
-    """pages(url, html, …) → block rows (1 doc → N blocks, ≙ J1 UDTF shape)."""
-    return pages.select("url", "html").mapInPandas(_segment_batches, BLOCKS_SCHEMA)
+def segment_pages(pages: DataFrame, wrap_width: int = 80) -> DataFrame:
+    """pages(url, html, …) → laid block rows (1 doc → N blocks, ≙ J1 UDTF
+    shape, with detector-emitted layout geometry)."""
+    return pages.select("url", "html").mapInPandas(
+        _make_segmenter(wrap_width), BLOCKS_SCHEMA
+    )

@@ -39,65 +39,58 @@ def _iround(c: Column) -> Column:
 
 
 def layout_blocks_df(blocks: DataFrame, cfg: ExtractConfig) -> DataFrame:
-    """Add line-geometry columns to decoded block rows (the 'laid' table)."""
-    wrap = F.lit(cfg.wrap_width)
-    w_url = Window.partitionBy("url")
-    w_ord = w_url.orderBy("block_id")
-    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
-
-    laid = (
+    """Score/center columns over laid block rows. Layout geometry itself is
+    emitted by the segmenter (detector-emitted bboxes, ≙ crop.py:163-171) —
+    everything here is per-row arithmetic, no windows, no shuffle."""
+    return (
         blocks.filter(F.col("dec_success") & (F.col("block_id") >= 0))
-        .withColumn("n_lines", ((F.col("n_chars") - 1) - ((F.col("n_chars") - 1) % wrap)) / wrap + 1)
-        .withColumn("n_lines", F.col("n_lines").cast("long"))
-        .withColumn("max_w", F.when(F.col("n_lines") > 1, wrap.cast("long")).otherwise(F.col("n_chars")))
-        .withColumn("start_line", F.coalesce(F.sum(F.col("n_lines") + 1).over(w_prev), F.lit(0)))
-        .withColumn("cum_chars", F.coalesce(F.sum("n_chars").over(w_prev), F.lit(0)))
-        .withColumn("canvas_h", F.sum(F.col("n_lines") + 1).over(w_url))
-        .withColumn("canvas_w", F.max("max_w").over(w_url))
-        .withColumn("n_blocks", F.count(F.lit(1)).over(w_url))
         .withColumn("score", F.lit(1.0) - F.col("n_link_chars") / F.col("n_chars"))
         .withColumn("bcx", _iround(F.col("max_w") / 2))
         .withColumn("bcy", _iround(F.col("start_line") + F.col("n_lines") / 2))
     )
-    return laid
 
 
 def select_main_df(laid: DataFrame, cfg: ExtractConfig) -> DataFrame:
-    """B1/B2 filter + D1/D2 top-1-per-url selection → one row per url."""
+    """B1/B2 filter + D1/D2 top-1-per-url selection → one row per url.
+
+    Implemented as a single max_by/min_by aggregation (map-side partial agg,
+    no window sort) — the argmax ≙ crop.py:193-199 with first-wins
+    tie-breaks made explicit via the unique block_id."""
     cand = laid.filter(
         (F.col("max_w") >= cfg.min_block_w)
         & (F.col("n_lines") >= cfg.min_block_h)
         & (F.col("score") >= cfg.min_score)
     )
-    if cfg.method == "center":
-        # squared int distance to the canvas center (exact arithmetic — same
-        # order, incl. ties, as the oracle's float math at these magnitudes)
-        d2 = (
-            F.pow(F.col("bcx") - F.col("canvas_w") / 2.0, 2)
-            + F.pow(F.col("bcy") - F.col("canvas_h") / 2.0, 2)
-        )
-        order = [d2.asc(), F.col("block_id").asc()]
-    else:  # 'largest' + unknown-method fallback (≙ crop.py:200-202)
-        order = [(F.col("max_w") * F.col("n_lines")).desc(), F.col("block_id").asc()]
-
-    w = Window.partitionBy("url").orderBy(*order)
-    main = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-
     if cfg.ref_point == "top":
         cx, cy = F.col("bcx"), F.col("start_line")
     else:
         cx, cy = F.col("bcx"), F.col("bcy")
-    return main.select(
-        "url",
+
+    packed = F.struct(
         F.col("block_id").cast("long").alias("main_block_id"),
         cx.alias("cx"),
         cy.alias("cy"),
-        "canvas_w",
-        "canvas_h",
-        "n_blocks",
-        "encoding",
-        "dec_message",
+        F.col("canvas_w"),
+        F.col("canvas_h"),
+        F.col("n_blocks"),
+        F.col("encoding"),
+        F.col("dec_message"),
     )
+    if cfg.method == "center":
+        # squared distance to the canvas center — exact arithmetic gives the
+        # same order (incl. ties) as the oracle's float math at these sizes
+        d2 = (
+            F.pow(F.col("bcx") - F.col("canvas_w") / 2.0, 2)
+            + F.pow(F.col("bcy") - F.col("canvas_h") / 2.0, 2)
+        )
+        best = F.min_by(packed, F.struct(d2.alias("d"), F.col("block_id").alias("b")))
+    else:  # 'largest' + unknown-method fallback (≙ crop.py:200-202)
+        area = F.col("max_w") * F.col("n_lines")
+        best = F.max_by(
+            packed, F.struct(area.alias("a"), (-F.col("block_id")).alias("b"))
+        )
+
+    return cand.groupBy("url").agg(best.alias("_b")).select("url", "_b.*")
 
 
 def _rule_point_exprs(rule: Column, w: Column, h: Column) -> list[tuple[Column, Column]]:

@@ -34,15 +34,39 @@ _ADDR_ROAD = re.compile(V.ADDR_ROAD_RE)
 _ADDR_SUFFIX = re.compile(V.ADDR_SUFFIX_RE)
 _ADDR_NUMERIC = re.compile(V.ADDR_NUMERIC_RE)
 
+# precompiled alternations — C-level single scans replacing Python-level
+# keyword loops (semantics identical: substring-any ⟺ alternation search,
+# endswith-any ⟺ anchored alternation)
+def _alt(kws):  # contains-any
+    return re.compile("|".join(map(re.escape, kws)))
+
+
+def _alt_end(sfxs):  # endswith-any
+    return re.compile("(?:" + "|".join(map(re.escape, sfxs)) + ")$")
+
+
+_ISSUER_SUFFIX_RE = _alt_end(V.ISSUER_SUFFIXES)
+_ISSUER_ORG_RE = _alt(V.ISSUER_ORG_KEYWORDS)
+_ISSUER_ORG_SFX_RE = _alt_end(V.ISSUER_ORG_SUFFIXES)
+_ADDR_KW_RE = _alt(V.ADDRESS_KEYWORDS)
+_MULTIWORD_RE = _alt(V.MULTIWORD_ADDRESS_KEYWORDS)
+_CLEAR_RE = _alt(V.CLEAR_ADDRESS_INDICATORS)
+_ROAD_RE = _alt(V.ROAD_KEYWORDS)
+_REGION_RE = _alt(V.REGION_KEYWORDS)
+_VETO_RE = _alt(V.NAME_VETO_KEYWORDS)
+
+# fast path: every pass-1 rule requires a digit or a Hangul syllable
+# somewhere in the token (titles/issuers/keywords are Korean; rrn/date/
+# address shapes need digits) — a token without either is always 'O'.
+_RELEVANT_RE = re.compile(r"[0-9가-힣]")
+
 
 def _is_issuer(text: str) -> bool:
     """≙ reference ocr.py:181-207 (H10), incl. the operator-precedence quirk:
     the trailing ``endswith 학교 and not contains 대학교`` clause stands alone."""
-    if any(text.endswith(s) for s in V.ISSUER_SUFFIXES):
+    if _ISSUER_SUFFIX_RE.search(text):
         return True
-    org_hit = any(k in text for k in V.ISSUER_ORG_KEYWORDS) and any(
-        text.endswith(s) for s in V.ISSUER_ORG_SUFFIXES
-    )
+    org_hit = bool(_ISSUER_ORG_RE.search(text)) and bool(_ISSUER_ORG_SFX_RE.search(text))
     school_hit = "학교장" in text or (text.endswith("학교") and "대학교" not in text)
     return org_hit or school_hit
 
@@ -61,18 +85,18 @@ def _is_date_component(text: str) -> bool:
 def _is_addressish(text: str) -> bool:
     """≙ reference ocr.py:229-244 (H12) address-shape disjunction."""
     return bool(
-        any(k in text for k in V.ADDRESS_KEYWORDS)
+        _ADDR_KW_RE.search(text)
         or _ADDR_UNIT.search(text)
         or _ADDR_ROAD.search(text)
         or _ADDR_SUFFIX.search(text)
         or _ADDR_NUMERIC.search(text)
-        or (len(text.split()) > 1 and any(k in text for k in V.MULTIWORD_ADDRESS_KEYWORDS))
+        or (len(text.split()) > 1 and _MULTIWORD_RE.search(text))
     )
 
 
 def _name_vetoed(text: str) -> bool:
     """substring veto over title/rrn/address keyword sets (H13)."""
-    return any(kw in text for kw in V.NAME_VETO_KEYWORDS)
+    return bool(_VETO_RE.search(text))
 
 
 def label_tokens(tokens: list[str]) -> list[str]:
@@ -82,6 +106,8 @@ def label_tokens(tokens: list[str]) -> list[str]:
 
     # pass 1: per-token classification (order-sensitive when/otherwise chain)
     for i, text in enumerate(tokens):
+        if not _RELEVANT_RE.search(text):
+            continue  # no digit/Hangul → provably 'O' (fast path)
         if text in V.DOC_TITLE_KEYWORDS:
             labels[i] = "document_title"
         elif _is_rrn(text):
@@ -94,7 +120,7 @@ def label_tokens(tokens: list[str]) -> list[str]:
             # an address component, not a date day (reference ocr.py:214-224)
             road_guard = (
                 i > 0
-                and any(k in tokens[i - 1] for k in V.ROAD_KEYWORDS)
+                and _ROAD_RE.search(tokens[i - 1]) is not None
                 and text.isdigit()
                 and len(text) <= 2
             )
@@ -104,7 +130,7 @@ def label_tokens(tokens: list[str]) -> list[str]:
         if labels[i] == "O" and _is_addressish(text):
             # short bare digits without a clear indicator stay unlabeled
             short_digit = text.isdigit() and len(text) <= 2
-            clear = any(k in text for k in V.CLEAR_ADDRESS_INDICATORS)
+            clear = _CLEAR_RE.search(text) is not None
             if not (short_digit and not clear):
                 labels[i] = "address"
 
@@ -141,7 +167,7 @@ def label_tokens(tokens: list[str]) -> list[str]:
         if (
             pre[j] in ("address", "O")
             and pre[j + 1] == "issuer"
-            and any(k in tokens[j] for k in V.REGION_KEYWORDS)
+            and _REGION_RE.search(tokens[j])
             and len(tokens[j]) < 10
         ):
             labels[j] = "issuer"

@@ -1,0 +1,118 @@
+"""Job orchestration: the Spark recast of the reference's batch drivers
+(SURVEY.md §3.1 step mapping).
+
+    scan → content filter → RESUME anti-join → repartition(url-hash, salted)
+    → extract() stages → observe counters → snapshot commit → lineage rows
+
+- resume: left-anti join of the input against the committed output snapshot
+  (≙ skip-if-exists, reference resize.py:158-162 — but gated *before* any
+  work, fixing crop.py's detect-before-gate inefficiency, SURVEY.md §4.2.4)
+- repartition by xxhash64(url): explicit hot-path partitioning (north rule);
+  a crashed run leaves no visible rows (manifest commit is atomic)
+- lineage: one row per task partition in the runs table (docs in/ok/failed,
+  wall time), ≙ the reference's per-run counters (D7/J7)
+- salting: two-stage aggregation helper for skewed keys (hot hosts)
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from py_image_toolkit_spark.config import ExtractConfig
+from py_image_toolkit_spark.plans.pipeline import extract
+from py_image_toolkit_spark.sources.tables import SnapshotTable
+
+
+def repartition_by_url(df: DataFrame, num_partitions: int) -> DataFrame:
+    """Explicit hot-path partitioning on the url hash — uniform regardless
+    of host skew because the key is the full url, not the host."""
+    return df.repartition(num_partitions, F.xxhash64("url"))
+
+
+def salted_two_stage_agg(
+    df: DataFrame, key_col: str, aggs: dict[str, tuple], n_salts: int = 16
+) -> DataFrame:
+    """Skew-safe aggregation: stage 1 groups by (key, salt) so one hot key
+    spreads over ``n_salts`` reducers, stage 2 combines partials.
+    ``aggs`` maps output name → (partial_expr_fn, combine_fn); both are
+    (colname → Column) builders. Only algebraic aggregates compose this way
+    (sum/count/min/max)."""
+    salt = (F.xxhash64(*df.columns) % n_salts).alias("_salt")
+    stage1 = df.groupBy(F.col(key_col), salt).agg(
+        *[fn(name) for name, (fn, _) in aggs.items()]
+    )
+    return stage1.groupBy(key_col).agg(
+        *[combine(name) for name, (_, combine) in aggs.items()]
+    )
+
+
+def host_of(url_col) -> F.Column:
+    return F.regexp_extract(url_col, r"^[a-z]+://([^/]+)", 1)
+
+
+def run_extraction_job(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_table: SnapshotTable,
+    runs_table: SnapshotTable,
+    cfg: ExtractConfig | None = None,
+    run_id: str | None = None,
+    num_partitions: int | None = None,
+) -> dict:
+    """One resumable job run. Returns the run summary (counters ≙ D7)."""
+    cfg = cfg or ExtractConfig()
+    run_id = run_id or f"run-{int(time.time() * 1000)}"
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+
+    t0 = time.time()
+    done = out_table.read(spark)
+    todo = pages
+    if done is not None:
+        # resume: anything already committed is skipped before ANY work
+        todo = pages.join(done.select("url").distinct(), "url", "left_anti")
+    todo = repartition_by_url(todo, num_partitions)
+
+    result = extract(todo, cfg)
+
+    # per-partition lineage (docs counted per task partition of the final
+    # stage — written to the runs table alongside the commit)
+    result = result.persist()
+    lineage = (
+        result.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(
+            F.count(F.lit(1)).alias("rows_out"),
+            F.countDistinct("url").alias("docs_in"),
+            F.sum(F.when(F.col("success"), 1).otherwise(0)).alias("rows_ok"),
+            F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("rows_failed"),
+        )
+        .withColumn("run_id", F.lit(run_id))
+    )
+    lineage_rows = lineage.collect()
+
+    n_rows = sum(r["rows_out"] for r in lineage_rows)
+    summary = {
+        "run_id": run_id,
+        "rows_out": int(n_rows),
+        "docs_in": int(sum(r["docs_in"] for r in lineage_rows)),
+        "rows_ok": int(sum(r["rows_ok"] for r in lineage_rows)),
+        "rows_failed": int(sum(r["rows_failed"] for r in lineage_rows)),
+        "wall_s": None,  # filled after commit
+    }
+
+    if n_rows > 0:
+        snapshot_id = out_table.append(result, run_id=run_id, meta=summary)
+        runs_table.append(
+            lineage.withColumn("snapshot_id", F.lit(snapshot_id)).withColumn(
+                "wall_ms", F.lit(int((time.time() - t0) * 1000))
+            ),
+            run_id=run_id,
+        )
+        summary["snapshot_id"] = snapshot_id
+    else:
+        summary["snapshot_id"] = None
+    result.unpersist()
+    summary["wall_s"] = time.time() - t0
+    return summary

@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 
 from py_image_toolkit_spark.config import ExtractConfig
 from py_image_toolkit_spark.functions import vocab as V
-from py_image_toolkit_spark.operators.extract_fields import extract_fields_df
+from py_image_toolkit_spark.operators.extract_fields import (
+    extract_fields_df,
+    fields_from_text,
+    fields_from_text_kernel,
+)
+from py_image_toolkit_spark.operators.extract_kernel import fused_extract_df
 from py_image_toolkit_spark.operators.segment import segment_pages
 from py_image_toolkit_spark.operators.select import (
     compute_windows_df,
@@ -69,7 +74,13 @@ def _span_struct(field: str, start, end):
     )
 
 
-def extract(pages: DataFrame, cfg: ExtractConfig | None = None, persist: bool = True) -> DataFrame:
+def extract(
+    pages: DataFrame,
+    cfg: ExtractConfig | None = None,
+    persist: bool = True,
+    num_partitions: int | None = None,
+    staging_dir: str | None = None,
+) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → extraction records.
 
     ``persist=True`` (default) caches the parse output and the per-url
@@ -77,26 +88,69 @@ def extract(pages: DataFrame, cfg: ExtractConfig | None = None, persist: bool = 
     rows + three failure branches) — without it the expensive mapInPandas
     parse re-runs once per branch, and predicate pushdown re-inlines the
     geometry expressions into megabyte-scale filter trees.
+
+    The input is explicitly repartitioned by url-hash before the parse
+    (north rule): html payloads compress well, so a parquet/Iceberg scan can
+    yield far fewer input splits than cores (maxPartitionBytes is sized for
+    bytes, not parse cost) — without this the Python parse stage runs on a
+    handful of cores. Pass ``num_partitions=0`` to keep the input
+    partitioning.
     """
     cfg = cfg or ExtractConfig()
 
-    blocks = segment_pages(pages)
-    if persist:
+    if num_partitions != 0:
+        n = num_partitions or 2 * pages.sparkSession.sparkContext.defaultParallelism
+        pages = pages.repartition(n, F.xxhash64("url"))
+
+    blocks = segment_pages(pages, cfg.wrap_width)
+    if staging_dir is not None:
+        # Materialize the parse output to parquet instead of the executor
+        # heap: the block table is consumed by four branches, and caching
+        # millions of text-heavy rows deserialized causes eviction/GC storms
+        # at high parallelism (measured: local[32] slower than local[8]).
+        # Columnar staging also lets the status branches read only the tiny
+        # metadata columns (parquet column pruning). At cluster scale this
+        # is a staging table next to the output snapshot.
+        spark = pages.sparkSession
+        blocks.write.mode("overwrite").parquet(staging_dir)
+        # re-spread: the staged file is small on disk (compressed text) and
+        # would otherwise be read back as a handful of byte-sized splits,
+        # starving every downstream stage of parallelism
+        n_read = num_partitions or 2 * spark.sparkContext.defaultParallelism
+        blocks = spark.read.parquet(staging_dir).repartition(
+            n_read, F.xxhash64("url")
+        )
+    elif persist:
         blocks = blocks.persist()
     laid = layout_blocks_df(blocks, cfg)
     main = select_main_df(laid, cfg)
     windows = compute_windows_df(main, cfg)
     if persist:
         windows = windows.persist()
-    assembled = extract_window_text_df(laid, windows, cfg)
-    if persist:
-        assembled = assembled.persist()
-    fields = extract_fields_df(assembled, keys=("url", "rule"))
+    if cfg.extract_impl == "fused":
+        # production path: crop slicing + labeling in one Arrow kernel
+        # (operators/extract_kernel.py — see rationale there)
+        with_fields = fused_extract_df(laid, windows, cfg)
+    else:
+        assembled = extract_window_text_df(laid, windows, cfg)
+        # partition the E3 input by COMPUTE, not bytes: the labeling stage is
+        # CPU-bound — AQE's byte-based coalescing would run it on a handful
+        # of cores
+        n_e3 = num_partitions or 2 * pages.sparkSession.sparkContext.defaultParallelism
+        assembled = assembled.repartition(n_e3)
+        # E3: three byte-identical implementations (ExtractConfig.e3_impl);
+        # the relational window form is SQL-verified by contract q15-q17.
+        if cfg.e3_impl == "arrays":
+            with_fields = fields_from_text(assembled, "extracted_text")
+        elif cfg.e3_impl == "relational":
+            fields = extract_fields_df(assembled, keys=("url", "rule"))
+            with_fields = assembled.join(fields, ["url", "rule"], "left")
+        else:
+            with_fields = fields_from_text_kernel(assembled, "extracted_text")
 
     ok = (
         windows.filter(F.col("crop_x1").isNotNull())
-        .join(assembled, ["url", "rule"])
-        .join(fields, ["url", "rule"], "left")
+        .join(with_fields, ["url", "rule"])
         .withColumn("success", F.lit(True))
         .withColumn("message", F.coalesce(F.col("dec_message"), F.lit("")))
     )

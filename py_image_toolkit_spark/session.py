@@ -46,6 +46,11 @@ def build_session(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # CPU-heavy pipeline: the 64 MB default advisory size lets AQE
+        # coalesce shuffle stages below the core count on modest data —
+        # byte-sized partitions starve compute-bound stages (measured: the
+        # E3 kernel capped at ~6 partitions regardless of cores).
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
         # Arrow for pandas UDF / mapInPandas stages (the E1/E2 parse kernels).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": str(DEFAULT_ARROW_BATCH),

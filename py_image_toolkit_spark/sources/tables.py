@@ -1,0 +1,109 @@
+"""Snapshot-versioned table: Iceberg-semantics commits over plain parquet
+(SURVEY.md §7.3).
+
+The north rule mandates Iceberg tables; this sandbox has no Iceberg runtime
+jar, so the same API is provided over a manifest-committed parquet layout:
+
+    {root}/data/commit-<uuid>/part-*.parquet      (written, then committed)
+    {root}/_snapshots/manifest-<n>.json           (atomic rename = commit)
+
+Readers resolve the highest manifest and read exactly the data directories
+it lists — a crashed job's orphan directory is invisible (≙ the reference's
+partial-output cleanup, resize.py:134-140, but free by construction: A9).
+Appends are atomic: data lands first, the manifest rename publishes it.
+
+On a real cluster with iceberg-spark-runtime on the classpath, swap
+``SnapshotTable`` for ``df.writeTo(table).append()`` — the pipeline code
+only touches this API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_RE = re.compile(r"manifest-(\d+)\.json$")
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.snap_dir = os.path.join(root, "_snapshots")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.snap_dir, exist_ok=True)
+
+    # -- manifest plumbing --------------------------------------------------
+
+    def _manifests(self) -> list[tuple[int, str]]:
+        out = []
+        for f in os.listdir(self.snap_dir):
+            m = _MANIFEST_RE.match(f)
+            if m:
+                out.append((int(m.group(1)), os.path.join(self.snap_dir, f)))
+        return sorted(out)
+
+    def latest_snapshot(self) -> dict | None:
+        ms = self._manifests()
+        if not ms:
+            return None
+        with open(ms[-1][1]) as fh:
+            return json.load(fh)
+
+    def snapshot_ids(self) -> list[int]:
+        return [n for n, _ in self._manifests()]
+
+    # -- write path ----------------------------------------------------------
+
+    def append(self, df: DataFrame, run_id: str | None = None, meta: dict | None = None) -> int:
+        """Write df to a fresh commit directory, then publish it with an
+        atomic manifest rename. Returns the new snapshot id."""
+        token = uuid.uuid4().hex[:12]
+        commit_dir = os.path.join(self.data_dir, f"commit-{token}")
+        df.write.mode("errorifexists").parquet(commit_dir)
+
+        prev = self.latest_snapshot()
+        snapshot_id = (prev["snapshot_id"] + 1) if prev else 1
+        dirs = (prev["data_dirs"] if prev else []) + [f"commit-{token}"]
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "data_dirs": dirs,
+            "run_id": run_id,
+            "committed_at": time.time(),
+            "schema": df.schema.jsonValue(),
+            "meta": meta or {},
+        }
+        tmp = os.path.join(self.snap_dir, f".manifest-{snapshot_id}.json.{token}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(self.snap_dir, f"manifest-{snapshot_id}.json"))
+        return snapshot_id
+
+    # -- read path -----------------------------------------------------------
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame | None:
+        """DataFrame over exactly the committed files (None if no snapshot
+        exists yet). ``snapshot_id`` time-travels to an older snapshot."""
+        if snapshot_id is None:
+            snap = self.latest_snapshot()
+        else:
+            path = os.path.join(self.snap_dir, f"manifest-{snapshot_id}.json")
+            snap = json.load(open(path)) if os.path.exists(path) else None
+        if snap is None or not snap["data_dirs"]:
+            return None
+        paths = [os.path.join(self.data_dir, d) for d in snap["data_dirs"]]
+        return spark.read.parquet(*paths)
+
+    def diff(self, spark: SparkSession, from_snapshot: int, to_snapshot: int) -> DataFrame | None:
+        """Rows appended between two snapshots (incremental-read primitive)."""
+        a = json.load(open(os.path.join(self.snap_dir, f"manifest-{from_snapshot}.json")))
+        b = json.load(open(os.path.join(self.snap_dir, f"manifest-{to_snapshot}.json")))
+        new_dirs = [d for d in b["data_dirs"] if d not in set(a["data_dirs"])]
+        if not new_dirs:
+            return None
+        return spark.read.parquet(*[os.path.join(self.data_dir, d) for d in new_dirs])

@@ -18,6 +18,14 @@ def test_parity_default_config(spark):
     assert_parity(spark, 200)
 
 
+@pytest.mark.parametrize("impl", ["kernel", "arrays", "relational"])
+def test_parity_columns_h16_and_e3_impls(spark, impl):
+    """The Column H16 path with all three E3 implementations (Arrow kernel /
+    zero-shuffle arrays / relational windows) is byte-identical to the
+    oracle — same for the fused production kernel (default config above)."""
+    assert_parity(spark, 60, ExtractConfig(extract_impl="columns", e3_impl=impl))
+
+
 def test_parity_center_method_ratio_padding(spark):
     cfg = ExtractConfig(method="center", ratio="16:9", padding_percent=10.0,
                         rules=("golden",))

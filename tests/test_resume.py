@@ -1,0 +1,90 @@
+"""M5 resume semantics (SURVEY.md §5.2.4): a killed/partial run + a resume
+run converge to exactly the uninterrupted run's table; crashed (uncommitted)
+data is invisible; each url lands exactly once per rule."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from py_image_toolkit_spark.config import ExtractConfig
+from py_image_toolkit_spark.fixtures import pages_df
+from py_image_toolkit_spark.plans.job import run_extraction_job
+from py_image_toolkit_spark.sources.tables import SnapshotTable
+
+CFG = ExtractConfig()
+
+
+def _tables(tmp_path, name):
+    return (
+        SnapshotTable(str(tmp_path / f"{name}_out")),
+        SnapshotTable(str(tmp_path / f"{name}_runs")),
+    )
+
+
+def test_kill_and_resume_converges(spark, tmp_path):
+    pages = pages_df(spark, 60)
+
+    # uninterrupted reference run
+    full_out, full_runs = _tables(tmp_path, "full")
+    s = run_extraction_job(spark, pages, full_out, full_runs, CFG, run_id="full")
+    assert s["rows_out"] == 120
+
+    # "killed" run: only a third of the input got processed+committed
+    part_out, part_runs = _tables(tmp_path, "part")
+    partial = pages.filter(F.xxhash64("url") % 3 == 0)
+    s1 = run_extraction_job(spark, partial, part_out, part_runs, CFG, run_id="r1")
+    assert 0 < s1["rows_out"] < 120
+
+    # resume over the FULL input: anti-join skips committed urls
+    s2 = run_extraction_job(spark, pages, part_out, part_runs, CFG, run_id="r2")
+    assert s1["rows_out"] + s2["rows_out"] == 120
+
+    a = full_out.read(spark)
+    b = part_out.read(spark)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+    # exactly once per (url, rule)
+    dupes = b.groupBy("url", "rule").count().filter("count > 1").count()
+    assert dupes == 0
+
+    # third run: nothing left to do, no new snapshot
+    s3 = run_extraction_job(spark, pages, part_out, part_runs, CFG, run_id="r3")
+    assert s3["rows_out"] == 0 and s3["snapshot_id"] is None
+    assert part_out.snapshot_ids() == [1, 2]
+
+
+def test_orphan_commit_dir_is_invisible(spark, tmp_path):
+    out, runs = _tables(tmp_path, "orphan")
+    pages = pages_df(spark, 20)
+    run_extraction_job(spark, pages, out, runs, CFG, run_id="r1")
+    n = out.read(spark).count()
+
+    # simulate a crash: data directory written but no manifest rename
+    orphan = os.path.join(out.data_dir, "commit-deadbeef")
+    pages_df(spark, 5).write.parquet(orphan)
+    assert out.read(spark).count() == n  # unchanged
+
+
+def test_lineage_rows_cover_all_docs(spark, tmp_path):
+    out, runs = _tables(tmp_path, "lineage")
+    run_extraction_job(spark, pages_df(spark, 30), out, runs, CFG, run_id="r1")
+    lin = runs.read(spark)
+    agg = lin.agg(
+        F.sum("rows_out").alias("rows"),
+        F.sum("rows_ok").alias("ok"),
+        F.sum("rows_failed").alias("failed"),
+    ).collect()[0]
+    assert agg["rows"] == 60 and agg["ok"] + agg["failed"] == 60
+    assert {"partition_id", "run_id", "snapshot_id", "wall_ms"} <= set(lin.columns)
+
+
+def test_snapshot_diff_incremental_read(spark, tmp_path):
+    out, runs = _tables(tmp_path, "diff")
+    pages = pages_df(spark, 40)
+    run_extraction_job(
+        spark, pages.filter(F.xxhash64("url") % 2 == 0), out, runs, CFG, run_id="r1"
+    )
+    run_extraction_job(spark, pages, out, runs, CFG, run_id="r2")
+    delta = out.diff(spark, 1, 2)
+    assert delta.count() == out.read(spark).count() - out.read(spark, snapshot_id=1).count()
