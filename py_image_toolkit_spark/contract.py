@@ -1058,7 +1058,9 @@ def q20(spark, sf_dir):
     return D.lsh_band_pairs(sigs, num_hashes=8, rows_per_band=2).orderBy("id_a", "id_b")
 
 
-def _q21_sql(bits: int = 16) -> str:
+def _simhash_cte(bits: int = 16) -> str:
+    """WITH-clause body ending in a ``sims(doc_id, simhash)`` CTE — shared by
+    q21 (per-doc hashes) and q28 (hamming-close pairs)."""
     nib_case = lambda n: (  # noqa: E731
         "CASE "
         + " ".join(
@@ -1072,8 +1074,7 @@ def _q21_sql(bits: int = 16) -> str:
         for b in range(bits)
     )
     sim = " + ".join(f"CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(bits))
-    return f"""
-    WITH {_DOCS_SQL},
+    return f"""{_DOCS_SQL},
     toks AS (
       SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
       FROM docs
@@ -1083,9 +1084,14 @@ def _q21_sql(bits: int = 16) -> str:
              {nib_case(2)} AS nib2, {nib_case(3)} AS nib3
       FROM toks
     ),
-    votes AS (SELECT doc_id, {votes} FROM nibs GROUP BY doc_id)
-    SELECT doc_id, CAST({sim} AS BIGINT) AS simhash
-    FROM votes ORDER BY doc_id
+    votes AS (SELECT doc_id, {votes} FROM nibs GROUP BY doc_id),
+    sims AS (SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM votes)"""
+
+
+def _q21_sql(bits: int = 16) -> str:
+    return f"""
+    WITH {_simhash_cte(bits)}
+    SELECT doc_id, simhash FROM sims ORDER BY doc_id
     """
 
 
@@ -1243,6 +1249,63 @@ def q26(spark, sf_dir):
     )
 
 
+@register(
+    "q28_simhash_close_pairs",
+    f"""
+    WITH {_simhash_cte()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def q28(spark, sf_dir):
+    """SimHash hamming-close pairs via nibble-band LSH — the engine's only
+    corpus-sized shuffle is the (band, nibble) bucket equijoin; pigeonhole
+    (4 bands, hamming ≤ 2 < 4) makes its recall exact, so the banded plan
+    returns the identical set to the oracle's quadratic self-join."""
+    sims = D.simhash_df(_docs_df(spark, sf_dir))
+    return (
+        D.simhash_close_pairs(sims, max_hamming=2)
+        .withColumn("hamming", F.col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "q29_embedding_neardup",
+    """
+    WITH coded AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        CAST((CASE WHEN embedding[1]  >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[9]  >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[25] >= 0 THEN 8 ELSE 0 END) AS INTEGER) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      CAST(FLOOR(list_dot_product(a.v, b.v)
+           / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))
+           * 1000000 + 0.5) AS BIGINT) AS cos_micro
+    FROM coded a JOIN coded b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE FLOOR(list_dot_product(a.v, b.v)
+          / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))
+          * 1000000 + 0.5) >= 900000
+    ORDER BY id_a, id_b
+    """,
+)
+def q29(spark, sf_dir):
+    """Embedding near-duplicate pairs, sign-LSH bucketed (the scale path:
+    bucket equijoin prunes candidates ~2^bits before any dot product — never
+    the O(n²) cross join). Oracle applies the identical bucketing."""
+    emb = t(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(emb, min_cos_micro=900_000).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # --------------------------------------------------------------------------
 # E. flagship: the full extraction pipeline over pages built from the
 #    driver's documents table (rows-only driver check; byte-parity vs the
@@ -1275,7 +1338,12 @@ def q27(spark, sf_dir):
     """E1 decode → E2 segment/select/window → E3 label/merge/pivot over a
     pages table derived from documents (SURVEY.md §0.1 stages D+E1-E4).
     Correctness gate: tests/test_engine_parity.py byte-parity vs oracle;
-    the geometry and labeling internals are SQL-verified by q12-q17."""
+    the geometry and labeling internals are SQL-verified by q12-q17.
+
+    Driver-safe projection: the comparator canonicalizes by sorting column
+    values, and an array<struct> column is unhashable there — serialize
+    ``spans`` to a JSON string (deterministic: struct field order is fixed)."""
     from py_image_toolkit_spark.plans.pipeline import extract
 
-    return extract(pages_from_documents(spark, sf_dir))
+    out = extract(pages_from_documents(spark, sf_dir))
+    return out.withColumn("spans", F.to_json(F.col("spans")))

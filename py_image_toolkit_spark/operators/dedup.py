@@ -56,10 +56,17 @@ def shingle_df(
 ) -> DataFrame:
     """(id, shingle) rows — distinct word k-grams per document."""
     arr = tokens_array(F.col(text_col))
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(arr) - (k - 1)),
-        lambda i: F.array_join(F.slice(arr, i, k), " "),
-    )
+    # guard short docs: size(arr) < k would make sequence(1, size-(k-1))
+    # DESCENDING ([1, 0, ...]) and slice(arr, 0, k) throws
+    # INVALID_PARAMETER_VALUE.START — a single short/empty document must not
+    # abort the corpus job (round-1 ADVICE)
+    sh = F.when(
+        F.size(arr) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - (k - 1)),
+            lambda i: F.array_join(F.slice(arr, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col), sh.alias("shingles"))
         .filter(F.size("shingles") >= 1)
@@ -129,9 +136,18 @@ def jaccard_pairs(
     if candidates is not None:
         # scale path: count intersections only for LSH candidate pairs —
         # the filter is pushed BEFORE the shingle join (a full shingle
-        # self-join is quadratic in shared-shingle frequency)
-        a = shingles.withColumnRenamed(id_col, "id_a")
-        b = shingles.withColumnRenamed(id_col, "id_b")
+        # self-join is quadratic in shared-shingle frequency).
+        # Semi-join-reduce FIRST: most docs appear in no candidate pair, so
+        # shrinking the shingle table to candidate ids before the wide
+        # (id, shingle)-keyed shuffle cuts both join inputs by the
+        # candidate-fraction (round-1 bench: the unreduced verify join was
+        # 55% of total wall time).
+        cand_ids = candidates.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col)
+        ).distinct()
+        sh = shingles.join(cand_ids, id_col, "left_semi")
+        a = sh.withColumnRenamed(id_col, "id_a")
+        b = sh.withColumnRenamed(id_col, "id_b")
         inter = (
             candidates.join(a, "id_a")
             .join(b, ["id_b", "shingle"])  # equijoin on BOTH id and shingle
@@ -196,19 +212,56 @@ def simhash_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bi
     return votes.select(F.col(id_col), sim.cast("long").alias("simhash"))
 
 
-def simhash_close_pairs(sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 2) -> DataFrame:
-    """Hamming-close pairs over 16-bit simhashes (self-join; at scale, band
-    the 16 bits into 4 nibble-buckets first — same LSH trick)."""
-    a, b = sims.alias("a"), sims.alias("b")
+def simhash_close_pairs(
+    sims: DataFrame, id_col: str = "doc_id", max_hamming: int = 2, bits: int = 16
+) -> DataFrame:
+    """Hamming-close pairs over simhashes via nibble-band LSH — the only
+    corpus-sized shuffle is a bucket equijoin, never an all-pairs cross join.
+
+    Exactness by pigeonhole: with 4 nibble bands, any pair within hamming
+    distance ≤ 3 differs in at most 3 of the 4 nibbles, so it shares at least
+    one identical (band, nibble) bucket and is found by the equijoin. For the
+    default max_hamming=2 recall is therefore 100% — same result set as the
+    quadratic self-join, at O(n·4) bucket keys.
+    """
+    n_bands = 4
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"nibble-band LSH guarantees recall only for max_hamming <= "
+            f"{n_bands - 1}; got {max_hamming}"
+        )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), i * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("nib"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = sims.select(
+        F.col(id_col), F.col("simhash"), F.explode(bands).alias("bb")
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.nib").alias("nib"))
+    a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.nib") == F.col("b.nib"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
@@ -226,15 +279,41 @@ def dot_cosine(a: Column, b: Column) -> Column:
 
 
 def embedding_neardup_pairs(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", min_cos_micro: int = 990_000
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cos_micro: int = 990_000,
+    bucketed: bool = True,
+    dims: tuple[int, ...] = (0, 8, 16, 24),
 ) -> DataFrame:
-    """Embedding near-duplicates: cosine ≥ threshold pairs. Brute-force pair
-    join (exact); the scale path buckets by sign-LSH first
-    (similarity.sign_lsh_bucket) and joins within buckets."""
-    a, b = emb.alias("a"), emb.alias("b")
+    """Embedding near-duplicates: cosine ≥ threshold pairs.
+
+    ``bucketed=True`` (default, the scale path): sign-LSH bucket the corpus
+    first (similarity.sign_lsh_bucket) and pair only within buckets — the
+    corpus-sized shuffle is a bucket equijoin, O(n²/2^bits) candidate dot
+    products instead of O(n²). Near-identical vectors (cos ≥ 0.99) share sign
+    bits on the sampled coordinates except when a coordinate sits near zero,
+    so recall is high but not exact; widen recall by probing more dims or
+    hamming-adjacent buckets. ``bucketed=False`` is the exact quadratic
+    baseline — small inputs only."""
+    from py_image_toolkit_spark.operators.similarity import sign_lsh_bucket
+
+    if bucketed:
+        src = emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
+        )
+        a, b = src.alias("a"), src.alias("b")
+        cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+    else:
+        a, b = emb.alias("a"), emb.alias("b")
+        cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     cos = dot_cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
     return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

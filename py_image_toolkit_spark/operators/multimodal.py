@@ -118,11 +118,14 @@ def frame_sample_plan(df: DataFrame, max_frames: int = 8) -> DataFrame:
     """Deterministic uniform frame-index sampling for video payloads."""
     n = F.coalesce(F.col("meta.n_frames").cast("long"), F.lit(0))
     stride = F.greatest(F.floor(n / max_frames), F.lit(1)).cast("long")
+    # floor-stride can yield up to max_frames+1 indices (e.g. n=100, m=8 →
+    # stride 12 → 9 indices); clip the tail so the contract is ≤ max_frames
     idx = F.when(
         n > 0,
-        F.filter(
-            F.sequence(F.lit(0), n - 1, stride),
-            lambda i: i < n,
+        F.slice(
+            F.filter(F.sequence(F.lit(0), n - 1, stride), lambda i: i < n),
+            1,
+            max_frames,
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     return df.withColumn("frame_indices", idx)

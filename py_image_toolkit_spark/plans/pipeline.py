@@ -44,10 +44,20 @@ def _fan_rules(df: DataFrame, cfg: ExtractConfig) -> DataFrame:
     return df.withColumn("rule", F.explode(F.array(*[F.lit(r) for r in cfg.rules])))
 
 
-def _as_failure(df: DataFrame, message_col, cfg: ExtractConfig, keep_meta: bool) -> DataFrame:
-    out = _fan_rules(df, cfg).withColumn("success", F.lit(False)).withColumn(
-        "message", message_col
-    )
+def _as_failure(
+    df: DataFrame,
+    message_col,
+    cfg: ExtractConfig,
+    keep_meta: bool,
+    fan: bool = True,
+) -> DataFrame:
+    """Fill failure-row columns; ``fan=True`` explodes per-url rows into one
+    row per rule. The degenerate-window branch is ALREADY per-(url, rule)
+    (windows carries a ``rule`` column) and must pass ``fan=False`` — fanning
+    it again emits len(cfg.rules)² rows per url and breaks the row contract."""
+    out = (_fan_rules(df, cfg) if fan else df).withColumn(
+        "success", F.lit(False)
+    ).withColumn("message", message_col)
     if not keep_meta:
         out = (
             out.withColumn("n_blocks", F.lit(0).cast("long"))
@@ -178,6 +188,7 @@ def extract(
         F.lit("degenerate window"),
         cfg,
         keep_meta=True,
+        fan=False,
     )
 
     dec_fail = _as_failure(

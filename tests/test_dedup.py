@@ -1,0 +1,110 @@
+"""Dedup operator unit tests: short-document robustness and banded-LSH
+equivalence to the brute-force forms (round-1 ADVICE + VERDICT items)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from py_image_toolkit_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def short_docs(spark):
+    # empty text, 1-token, 2-token (all < k=3 shingle width), plus normal docs
+    rows = [
+        (1, ""),
+        (2, "one"),
+        (3, "two words"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "the quick brown fox jumps over the lazy cat"),
+        (6, "   "),  # whitespace-only
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingle_df_survives_short_docs(short_docs):
+    """Docs with < k tokens must yield zero shingle rows, not abort the job
+    (sequence(1, size-(k-1)) is DESCENDING when size < k and slice throws)."""
+    sh = D.shingle_df(short_docs, k=3).toPandas()
+    assert set(sh["doc_id"]) == {4, 5}
+    assert (sh.groupby("doc_id").size() == 7).all()  # 9 tokens → 7 trigrams
+
+
+def test_full_dedup_chain_with_short_docs(short_docs):
+    """The whole minhash→LSH→jaccard chain runs on a corpus containing short
+    docs and still finds the one real near-dup pair."""
+    sh = D.shingle_df(short_docs, k=3)
+    sigs = D.minhash_signatures(sh, num_hashes=8)
+    cands = D.lsh_band_pairs(sigs, num_hashes=8, rows_per_band=2)
+    pairs = D.jaccard_pairs(sh, min_jaccard=0.5, candidates=cands).toPandas()
+    assert [(r.id_a, r.id_b) for r in pairs.itertuples()] == [(4, 5)]
+
+
+@pytest.fixture(scope="module")
+def sim_corpus(spark):
+    # base doc + variants: identical, tiny edit (hamming-close), unrelated
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = [(i, base + f"tail{i % 3}") for i in range(30)] + [
+        (100 + i, f"completely different text number {i} with other words")
+        for i in range(10)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_simhash_banded_equals_bruteforce(spark, sim_corpus):
+    """The nibble-band LSH plan returns the identical pair set to the
+    quadratic self-join for max_hamming ≤ 3 (pigeonhole guarantee)."""
+    sims = D.simhash_df(sim_corpus)
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in D.simhash_close_pairs(sims, max_hamming=2).collect()
+    }
+    a, b = sims.alias("a"), sims.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 2)
+        .collect()
+    }
+    assert banded == brute
+    assert len(brute) > 0  # non-vacuous
+
+
+def test_simhash_banded_rejects_unguaranteed_radius(spark, sim_corpus):
+    sims = D.simhash_df(sim_corpus)
+    with pytest.raises(ValueError):
+        D.simhash_close_pairs(sims, max_hamming=4)
+
+
+def test_embedding_neardup_bucketed_plan_has_equijoin(spark):
+    """The default (bucketed) near-dup plan must join on the LSH bucket key —
+    no unconditioned cross join anywhere in the physical plan."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 32).astype("float64")
+    vecs[1] = vecs[0] + 0.001  # one near-dup pair
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = D.embedding_neardup_pairs(emb, min_cos_micro=990_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (0, 1) in got
+
+    # exact baseline agrees on this corpus (near-identical vectors share
+    # sign buckets when no sampled coordinate flips)
+    brute = {
+        (r.id_a, r.id_b)
+        for r in D.embedding_neardup_pairs(
+            emb, min_cos_micro=990_000, bucketed=False
+        ).collect()
+    }
+    assert got == brute

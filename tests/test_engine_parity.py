@@ -32,6 +32,21 @@ def test_parity_center_method_ratio_padding(spark):
     assert_parity(spark, 80, cfg)
 
 
+def test_parity_degenerate_ratio(spark):
+    """Extreme ratio drives some (url, rule) windows degenerate — the
+    degenerate failure branch is already per-(url, rule) and must NOT be
+    re-fanned per rule (round-1 ADVICE: double-fan emitted len(rules)² rows
+    per degenerate url, breaking the exactly-len(rules)-rows-per-url
+    contract)."""
+    assert_parity(spark, 24, ExtractConfig(ratio="100:1"))
+
+
+def test_parity_degenerate_ratio_single_rule(spark):
+    """Asymmetric check: with one rule the double-fan bug was invisible
+    (len(rules)²=1) — use a tall ratio instead to hit the other window axis."""
+    assert_parity(spark, 24, ExtractConfig(ratio="1:100"))
+
+
 def test_parity_top_refpoint_fixed_ratio(spark):
     cfg = ExtractConfig(ref_point="top", ratio="1.5", rules=("thirds",))
     assert_parity(spark, 80, cfg)
