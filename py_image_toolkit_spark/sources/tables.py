@@ -60,29 +60,59 @@ class SnapshotTable:
 
     # -- write path ----------------------------------------------------------
 
-    def append(self, df: DataFrame, run_id: str | None = None, meta: dict | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        run_id: str | None = None,
+        meta: dict | None = None,
+        encode: "EncodeOptions | None" = None,
+    ) -> int:
         """Write df to a fresh commit directory, then publish it with an
-        atomic manifest rename. Returns the new snapshot id."""
+        optimistic-concurrency manifest commit. Returns the new snapshot id.
+
+        Concurrency (Iceberg-style optimistic commit): the manifest file is
+        created with O_EXCL — if another writer committed the same snapshot
+        id first, the create fails, the data_dirs lineage is re-read and the
+        commit retries with the next id. Without this, two concurrent appends
+        could both read the same latest manifest and the second rename would
+        silently drop the first commit's data directory from the lineage.
+
+        ``encode`` routes through the E4 per-format options dispatch
+        (operators/encode.py ≙ reference optimize.py:39-53)."""
+        from py_image_toolkit_spark.operators.encode import encoded_writer
+
         token = uuid.uuid4().hex[:12]
         commit_dir = os.path.join(self.data_dir, f"commit-{token}")
-        df.write.mode("errorifexists").parquet(commit_dir)
+        encoded_writer(df, "parquet", encode).mode("errorifexists").save(commit_dir)
 
-        prev = self.latest_snapshot()
-        snapshot_id = (prev["snapshot_id"] + 1) if prev else 1
-        dirs = (prev["data_dirs"] if prev else []) + [f"commit-{token}"]
-        manifest = {
-            "snapshot_id": snapshot_id,
-            "data_dirs": dirs,
-            "run_id": run_id,
-            "committed_at": time.time(),
-            "schema": df.schema.jsonValue(),
-            "meta": meta or {},
-        }
-        tmp = os.path.join(self.snap_dir, f".manifest-{snapshot_id}.json.{token}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.rename(tmp, os.path.join(self.snap_dir, f"manifest-{snapshot_id}.json"))
-        return snapshot_id
+        while True:
+            prev = self.latest_snapshot()
+            snapshot_id = (prev["snapshot_id"] + 1) if prev else 1
+            dirs = (prev["data_dirs"] if prev else []) + [f"commit-{token}"]
+            manifest = {
+                "snapshot_id": snapshot_id,
+                "data_dirs": dirs,
+                "run_id": run_id,
+                "committed_at": time.time(),
+                "schema": df.schema.jsonValue(),
+                "meta": meta or {},
+            }
+            target = os.path.join(self.snap_dir, f"manifest-{snapshot_id}.json")
+            # tmp-write + hard-link publish: link(2) is atomic for readers
+            # (no partially-written manifest is ever visible) AND fails with
+            # EEXIST if a concurrent writer already claimed this id
+            tmp = os.path.join(
+                self.snap_dir, f".manifest-{snapshot_id}.json.{token}.tmp"
+            )
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                os.unlink(tmp)
+                continue  # lost the race: re-read lineage, try the next id
+            os.unlink(tmp)
+            return snapshot_id
 
     # -- read path -----------------------------------------------------------
 
