@@ -19,6 +19,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
     IntegerType,
@@ -26,6 +27,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 from py_image_toolkit_spark.kernels.normalize import decode_html, strip_noncontent
@@ -38,6 +40,12 @@ from py_image_toolkit_spark.kernels.segment import (
 BLOCKS_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
+        # H17 metadata passthrough (≙ reference EXIF preservation on save,
+        # README.md): doc-level input metadata rides along per block row —
+        # constant per doc, so parquet RLE/dictionary encodes it ~free, and
+        # no extra join is needed to restore it on the output
+        StructField("warc_ts", TimestampType(), True),
+        StructField("lang", StringType(), True),
         StructField("block_id", IntegerType(), False),
         StructField("tag", StringType(), True),
         StructField("btext", StringType(), True),
@@ -66,8 +74,10 @@ def _make_segmenter(wrap: int):
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in BLOCKS_SCHEMA.fields}
 
-            def emit_marker(url, enc, msg, ok):
+            def emit_marker(url, warc_ts, lang, enc, msg, ok):
                 out["url"].append(url)
+                out["warc_ts"].append(warc_ts)
+                out["lang"].append(lang)
                 out["block_id"].append(-1)
                 for c in ("tag", "btext"):
                     out[c].append(None)
@@ -79,7 +89,7 @@ def _make_segmenter(wrap: int):
                 out["dec_message"].append(msg)
                 out["dec_success"].append(ok)
 
-            def emit_doc(url, blocks, enc, msg):
+            def emit_doc(url, warc_ts, lang, blocks, enc, msg):
                 line = 0
                 cum = 0
                 canvas_w = 0
@@ -94,6 +104,8 @@ def _make_segmenter(wrap: int):
                     cum += n_chars
                 for i, b, n_chars, n_lines, max_w, start_line, cum_chars in laid:
                     out["url"].append(url)
+                    out["warc_ts"].append(warc_ts)
+                    out["lang"].append(lang)
                     out["block_id"].append(i)
                     out["tag"].append(b["tag"])
                     out["btext"].append(b["text"])
@@ -110,23 +122,28 @@ def _make_segmenter(wrap: int):
                     out["dec_message"].append(msg)
                     out["dec_success"].append(True)
 
-            for url, html in zip(pdf["url"], pdf["html"]):
+            for url, warc_ts, lang, html in zip(
+                pdf["url"], pdf["warc_ts"], pdf["lang"], pdf["html"]
+            ):
+                ts = None if pd.isna(warc_ts) else warc_ts
+                lg = None if pd.isna(lang) else lang
                 try:
                     html_b = bytes(html) if html is not None else None
                     dec = decode_html(html_b)
                     if not dec.success:
-                        emit_marker(url, dec.encoding, dec.message, False)
+                        emit_marker(url, ts, lg, dec.encoding, dec.message, False)
                         continue
                     if html_b.startswith(PDF_MAGIC):
                         blocks = extract_pdf_blocks(html_b)
                     else:
                         blocks = segment_html(strip_noncontent(dec.text))
                     if not blocks:
-                        emit_marker(url, dec.encoding, dec.message, True)
+                        emit_marker(url, ts, lg, dec.encoding, dec.message, True)
                         continue
-                    emit_doc(url, blocks, dec.encoding, dec.message)
+                    emit_doc(url, ts, lg, blocks, dec.encoding, dec.message)
                 except Exception as e:  # noqa: BLE001 — J6 error containment
-                    emit_marker(url, "none", f"parse error: {type(e).__name__}: {e}", False)
+                    emit_marker(url, ts, lg, "none",
+                                f"parse error: {type(e).__name__}: {e}", False)
             yield pd.DataFrame(out)
 
     return _segment_batches
@@ -134,7 +151,16 @@ def _make_segmenter(wrap: int):
 
 def segment_pages(pages: DataFrame, wrap_width: int = 80) -> DataFrame:
     """pages(url, html, …) → laid block rows (1 doc → N blocks, ≙ J1 UDTF
-    shape, with detector-emitted layout geometry)."""
-    return pages.select("url", "html").mapInPandas(
-        _make_segmenter(wrap_width), BLOCKS_SCHEMA
+    shape, with detector-emitted layout geometry). ``warc_ts``/``lang`` pass
+    through (H17); inputs lacking them get nulls."""
+    cols = [F.col("url")]
+    cols.append(
+        F.col("warc_ts") if "warc_ts" in pages.columns
+        else F.lit(None).cast("timestamp").alias("warc_ts")
     )
+    cols.append(
+        F.col("lang") if "lang" in pages.columns
+        else F.lit(None).cast("string").alias("lang")
+    )
+    cols.append(F.col("html"))
+    return pages.select(*cols).mapInPandas(_make_segmenter(wrap_width), BLOCKS_SCHEMA)

@@ -75,6 +75,8 @@ def select_main_df(laid: DataFrame, cfg: ExtractConfig) -> DataFrame:
         F.col("n_blocks"),
         F.col("encoding"),
         F.col("dec_message"),
+        F.col("warc_ts"),  # H17 passthrough rides the doc-level agg
+        F.col("lang"),
     )
     if cfg.method == "center":
         # squared distance to the canvas center — exact arithmetic gives the
@@ -243,7 +245,8 @@ def compute_windows_df(main: DataFrame, cfg: ExtractConfig) -> DataFrame:
     )
     return out.select(
         "url", "rule", "main_block_id", "canvas_w", "canvas_h", "n_blocks",
-        "encoding", "dec_message", "crop_x1", "crop_y1", "crop_x2", "crop_y2",
+        "encoding", "dec_message", "warc_ts", "lang",
+        "crop_x1", "crop_y1", "crop_x2", "crop_y2",
     )
 
 

@@ -227,9 +227,19 @@ def extract_document(url: str, html: bytes | None, cfg: ExtractConfig | None = N
 
 
 def extract_pages(rows, cfg: ExtractConfig | None = None) -> list[dict]:
-    """Convenience: iterable of (url, html) → flat record list, url-ordered."""
+    """Convenience: iterable of (url, html) or (url, html, warc_ts, lang) →
+    flat record list, url-ordered. The optional metadata passes through
+    verbatim onto every record for that url (H17, ≙ reference EXIF
+    preservation on save)."""
     out: list[dict] = []
-    for url, html in rows:
-        out.extend(extract_document(url, html, cfg))
+    for row in rows:
+        url, html = row[0], row[1]
+        warc_ts = row[2] if len(row) > 2 else None
+        lang = row[3] if len(row) > 3 else None
+        recs = extract_document(url, html, cfg)
+        for r in recs:
+            r["warc_ts"] = warc_ts
+            r["lang"] = lang
+        out.extend(recs)
     out.sort(key=lambda r: (r["url"], r["rule"]))
     return out

@@ -27,9 +27,10 @@ from py_image_toolkit_spark.sources.tables import SnapshotTable
 
 
 def repartition_by_url(df: DataFrame, num_partitions: int) -> DataFrame:
-    """Explicit hot-path partitioning on the url hash — uniform regardless
-    of host skew because the key is the full url, not the host."""
-    return df.repartition(num_partitions, F.xxhash64("url"))
+    """Explicit hot-path partitioning on the url column — uniform regardless
+    of host skew because the key is the full url, not the host; plain
+    HashPartitioning(url) so downstream url-keyed aggs/joins reuse it."""
+    return df.repartition(num_partitions, F.col("url"))
 
 
 def salted_two_stage_agg(

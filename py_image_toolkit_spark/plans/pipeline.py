@@ -108,9 +108,28 @@ def extract(
     """
     cfg = cfg or ExtractConfig()
 
+    out_cols = (
+        ["url", "warc_ts", "lang", "rule", "success", "message", "encoding"]
+        + _META_COLS
+        + ["main_start", "main_end", "extracted_text"]
+        + _FIELD_COLS
+        + ["spans"]
+    )
+
+    if cfg.extract_impl == "doc":
+        # production default: the whole per-document pipeline in ONE Arrow
+        # stage — zero wide shuffles (see operators/doc_kernel.py)
+        from py_image_toolkit_spark.operators.doc_kernel import doc_extract_df
+
+        return doc_extract_df(pages, cfg, num_partitions).select(*out_cols)
+
     if num_partitions != 0:
         n = num_partitions or 2 * pages.sparkSession.sparkContext.defaultParallelism
-        pages = pages.repartition(n, F.xxhash64("url"))
+        # hash-partition on the url COLUMN (not a derived hash expression):
+        # HashPartitioning(url, n) is a partitioning Catalyst can re-use, so
+        # every downstream groupBy(url)/join(url) with matching arity is
+        # exchange-free — the document text is shuffled exactly once
+        pages = pages.repartition(n, F.col("url"))
 
     blocks = segment_pages(pages, cfg.wrap_width)
     if staging_dir is not None:
@@ -128,7 +147,7 @@ def extract(
         # starving every downstream stage of parallelism
         n_read = num_partitions or 2 * spark.sparkContext.defaultParallelism
         blocks = spark.read.parquet(staging_dir).repartition(
-            n_read, F.xxhash64("url")
+            n_read, F.col("url")
         )
     elif persist:
         blocks = blocks.persist()
@@ -138,9 +157,17 @@ def extract(
     if persist:
         windows = windows.persist()
     if cfg.extract_impl == "fused":
-        # production path: crop slicing + labeling in one Arrow kernel
+        # production path: crop slicing + labeling in one Arrow kernel that
+        # emits COMPLETE success rows (meta rides through the kernel) — the
+        # text-bearing output is never joined back to the window table, so
+        # the only wide shuffle in the whole stage is the url repartition
         # (operators/extract_kernel.py — see rationale there)
-        with_fields = fused_extract_df(laid, windows, cfg)
+        ok = (
+            fused_extract_df(laid, windows, cfg)
+            .withColumn("success", F.lit(True))
+            .withColumn("message", F.coalesce(F.col("dec_message"), F.lit("")))
+        )
+        with_fields = None
     else:
         assembled = extract_window_text_df(laid, windows, cfg)
         # partition the E3 input by COMPUTE, not bytes: the labeling stage is
@@ -158,12 +185,13 @@ def extract(
         else:
             with_fields = fields_from_text_kernel(assembled, "extracted_text")
 
-    ok = (
-        windows.filter(F.col("crop_x1").isNotNull())
-        .join(with_fields, ["url", "rule"])
-        .withColumn("success", F.lit(True))
-        .withColumn("message", F.coalesce(F.col("dec_message"), F.lit("")))
-    )
+    if with_fields is not None:  # Column impls: attach meta via join-back
+        ok = (
+            windows.filter(F.col("crop_x1").isNotNull())
+            .join(with_fields, ["url", "rule"])
+            .withColumn("success", F.lit(True))
+            .withColumn("message", F.coalesce(F.col("dec_message"), F.lit("")))
+        )
 
     # spans: the main-content window span + first-occurrence field spans
     span_cols = [_span_struct("main", F.col("main_start"), F.col("main_end"))]
@@ -193,7 +221,7 @@ def extract(
 
     dec_fail = _as_failure(
         blocks.filter((F.col("block_id") == -1) & ~F.col("dec_success"))
-        .select("url", "encoding", F.col("dec_message")),
+        .select("url", "warc_ts", "lang", "encoding", F.col("dec_message")),
         F.col("dec_message"),
         cfg,
         keep_meta=False,
@@ -202,7 +230,11 @@ def extract(
     doc_enc = (
         blocks.filter(F.col("dec_success"))
         .groupBy("url")
-        .agg(F.min_by("encoding", "block_id").alias("encoding"))
+        .agg(
+            F.min_by("encoding", "block_id").alias("encoding"),
+            F.min_by("warc_ts", "block_id").alias("warc_ts"),
+            F.min_by("lang", "block_id").alias("lang"),
+        )
     )
     no_cand = _as_failure(
         doc_enc.join(main.select("url"), "url", "left_anti"),
@@ -211,13 +243,6 @@ def extract(
         keep_meta=False,
     )
 
-    out_cols = (
-        ["url", "rule", "success", "message", "encoding"]
-        + _META_COLS
-        + ["main_start", "main_end", "extracted_text"]
-        + _FIELD_COLS
-        + ["spans"]
-    )
     result = (
         ok.select(*out_cols)
         .unionByName(degenerate.select(*out_cols))

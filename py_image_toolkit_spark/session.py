@@ -51,6 +51,12 @@ def build_session(
         # byte-sized partitions starve compute-bound stages (measured: the
         # E3 kernel capped at ~6 partitions regardless of cores).
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        # CPU-bound scans: web text compresses ~10×, so the 128 MB default
+        # split packs ~1 GB of parse work per task and strands cores on
+        # modest inputs (measured: the staged-table re-read ran on 2 tasks
+        # regardless of core count). 16 MB compressed ≈ 100-200 MB of work.
+        "spark.sql.files.maxPartitionBytes": "16m",
+        "spark.sql.files.openCostInBytes": "1m",
         # Arrow for pandas UDF / mapInPandas stages (the E1/E2 parse kernels).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": str(DEFAULT_ARROW_BATCH),

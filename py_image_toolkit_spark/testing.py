@@ -14,10 +14,11 @@ from py_image_toolkit_spark.oracle import extract_pages
 from py_image_toolkit_spark.plans.pipeline import extract
 
 RESULT_COLS = [
-    "url", "rule", "success", "message", "encoding", "n_blocks", "canvas_w",
-    "canvas_h", "main_block_id", "crop_x1", "crop_y1", "crop_x2", "crop_y2",
-    "main_start", "main_end", "extracted_text", "document_title", "name",
-    "address", "rrn", "issue_date", "issuer", "spans",
+    "url", "warc_ts", "lang", "rule", "success", "message", "encoding",
+    "n_blocks", "canvas_w", "canvas_h", "main_block_id", "crop_x1", "crop_y1",
+    "crop_x2", "crop_y2", "main_start", "main_end", "extracted_text",
+    "document_title", "name", "address", "rrn", "issue_date", "issuer",
+    "spans",
 ]
 
 
@@ -60,7 +61,13 @@ def engine_frame(spark: SparkSession, n: int, cfg: ExtractConfig) -> pd.DataFram
 def oracle_frame(n: int, cfg: ExtractConfig) -> pd.DataFrame:
     rows = pages_pandas(n)
     ora = pd.DataFrame(
-        extract_pages(((r["url"], r["html"]) for _, r in rows.iterrows()), cfg)
+        extract_pages(
+            (
+                (r["url"], r["html"], r["warc_ts"], r["lang"])
+                for _, r in rows.iterrows()
+            ),
+            cfg,
+        )
     )
     ora["spans"] = ora["spans"].map(
         lambda v: [(d["field"], int(d["start"]), int(d["end"])) for d in v]

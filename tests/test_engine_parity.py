@@ -22,8 +22,19 @@ def test_parity_default_config(spark):
 def test_parity_columns_h16_and_e3_impls(spark, impl):
     """The Column H16 path with all three E3 implementations (Arrow kernel /
     zero-shuffle arrays / relational windows) is byte-identical to the
-    oracle — same for the fused production kernel (default config above)."""
+    oracle — same for the doc-fused production kernel (default config above)."""
     assert_parity(spark, 60, ExtractConfig(extract_impl="columns", e3_impl=impl))
+
+
+def test_parity_staged_fused(spark):
+    """The staged pipeline (parse → Column E2 geometry → fused crop+label
+    kernel) is byte-identical to the oracle — the SQL-verifiable
+    decomposition, kept alongside the zero-shuffle doc kernel."""
+    assert_parity(spark, 60, ExtractConfig(extract_impl="fused"))
+
+
+def test_parity_staged_fused_degenerate(spark):
+    assert_parity(spark, 24, ExtractConfig(extract_impl="fused", ratio="100:1"))
 
 
 def test_parity_center_method_ratio_padding(spark):
