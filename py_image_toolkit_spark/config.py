@@ -16,6 +16,15 @@ class ExtractConfig:
 
     # E2 rendering: hard-wrap width of the virtual text canvas (chars/line).
     wrap_width: int = 80
+    # E1 normalization mode (B8 ≙ reference resize.py:106-120 mode dispatch
+    # aspect_ratio|fixed|none):
+    #  - "aspect": wrap at wrap_width; a block keeps its natural width
+    #    (max_w = text length when it fits on one line) — aspect-preserving
+    #  - "fixed": wrap at wrap_width; every block is laid at exactly
+    #    wrap_width wide (max_w = wrap_width) — fixed-size normalization,
+    #    geometry distorts like a fixed resize
+    #  - "none": no wrapping — every block is a single canvas line
+    norm_mode: str = "aspect"
     # B1 min subject size (≙ crop.py min face w/h filter, crop.py:144-145)
     min_block_w: int = 5
     min_block_h: int = 1

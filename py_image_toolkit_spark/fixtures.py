@@ -57,7 +57,7 @@ def _filler(rng: random.Random, n_words: int, ko: bool = False) -> str:
 def _record_tokens(rng: random.Random) -> str:
     """A Korean document-record token sequence (E3 golden material)."""
     title = rng.choice(_TITLES)
-    variant = rng.randrange(6)
+    variant = rng.randrange(7)
     rrn = rng.choice(_RRNS)
     addr = rng.choice(_ADDRESSES)
     date = rng.choice(_DATES_OK)
@@ -73,8 +73,12 @@ def _record_tokens(rng: random.Random) -> str:
     elif variant == 4:  # region + issuer run (C3 neighbor relabel + D5 merge)
         parts = [title, rng.choice(_NAMES_CLEAN), rrn, addr, *date,
                  rng.choice(_REGION_PREFIX), issuer]
-    else:  # no rrn → no name inference
+    elif variant == 5:  # no rrn → no name inference
         parts = [title, rng.choice(_NAMES_CLEAN), addr, *date, issuer]
+    else:  # non-ASCII-digit token: '１２호' must stay 'O' in EVERY impl —
+        # pins the deliberate ASCII-digit dialect (Java rlike \d vs Python
+        # re) so kernel/relational/arrays can't silently diverge on it
+        parts = [title, rng.choice(_NAMES_CLEAN), rrn, addr, "１２호", *date, issuer]
     return " ".join(parts)
 
 

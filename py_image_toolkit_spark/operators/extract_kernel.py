@@ -63,7 +63,7 @@ _META_KEYS = (
 )
 
 
-def _make_stream_kernel(wrap: int):
+def _make_stream_kernel(wrap: int, norm_mode: str = "aspect"):
     """Streaming-group kernel: consumes FLAT block rows (url-clustered and
     block_id-sorted within each partition) and flushes one url-group at a
     time. No collect_list/array_sort aggregation ever materializes an
@@ -110,9 +110,12 @@ def _make_stream_kernel(wrap: int):
                     if cur_url is not None:
                         flush()
                     cur_url, cur_rects, cur_meta, lines = url, rects, meta, []
-                lines.extend(
-                    btext[i * wrap : (i + 1) * wrap] for i in range(int(n_lines))
-                )
+                if norm_mode == "none":
+                    lines.append(btext)
+                else:
+                    lines.extend(
+                        btext[i * wrap : (i + 1) * wrap] for i in range(int(n_lines))
+                    )
                 lines.append("")
             if len(out["url"]) >= 1024:  # bound memory: emit completed groups
                 yield pd.DataFrame(out)
@@ -153,4 +156,6 @@ def fused_extract_df(laid: DataFrame, windows: DataFrame, cfg: ExtractConfig) ->
         .join(wg, "url")
         .sortWithinPartitions("url", "block_id")
     )
-    return flat.mapInPandas(_make_stream_kernel(cfg.wrap_width), FUSED_SCHEMA)
+    return flat.mapInPandas(
+        _make_stream_kernel(cfg.wrap_width, cfg.norm_mode), FUSED_SCHEMA
+    )

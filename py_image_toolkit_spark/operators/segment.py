@@ -69,7 +69,7 @@ BLOCKS_SCHEMA = StructType(
 )
 
 
-def _make_segmenter(wrap: int):
+def _make_segmenter(wrap: int, norm_mode: str = "aspect"):
     def _segment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in BLOCKS_SCHEMA.fields}
@@ -96,8 +96,16 @@ def _make_segmenter(wrap: int):
                 laid = []
                 for i, b in enumerate(blocks):
                     n_chars = len(b["text"])
-                    n_lines = (n_chars - 1) // wrap + 1
-                    max_w = wrap if n_lines > 1 else n_chars
+                    # B8 normalization dispatch — must mirror
+                    # oracle/extractor.layout_blocks exactly
+                    if norm_mode == "none":
+                        n_lines, max_w = 1, n_chars
+                    else:
+                        n_lines = (n_chars - 1) // wrap + 1
+                        if norm_mode == "fixed":
+                            max_w = wrap
+                        else:
+                            max_w = wrap if n_lines > 1 else n_chars
                     laid.append((i, b, n_chars, n_lines, max_w, line, cum))
                     canvas_w = max(canvas_w, max_w)
                     line += n_lines + 1
@@ -149,7 +157,9 @@ def _make_segmenter(wrap: int):
     return _segment_batches
 
 
-def segment_pages(pages: DataFrame, wrap_width: int = 80) -> DataFrame:
+def segment_pages(
+    pages: DataFrame, wrap_width: int = 80, norm_mode: str = "aspect"
+) -> DataFrame:
     """pages(url, html, …) → laid block rows (1 doc → N blocks, ≙ J1 UDTF
     shape, with detector-emitted layout geometry). ``warc_ts``/``lang`` pass
     through (H17); inputs lacking them get nulls."""
@@ -163,4 +173,6 @@ def segment_pages(pages: DataFrame, wrap_width: int = 80) -> DataFrame:
         else F.lit(None).cast("string").alias("lang")
     )
     cols.append(F.col("html"))
-    return pages.select(*cols).mapInPandas(_make_segmenter(wrap_width), BLOCKS_SCHEMA)
+    return pages.select(*cols).mapInPandas(
+        _make_segmenter(wrap_width, norm_mode), BLOCKS_SCHEMA
+    )

@@ -254,7 +254,13 @@ def extract_window_text_df(laid: DataFrame, windows: DataFrame, cfg: ExtractConf
     """H16: slice the per-block wrapped lines by the crop rect and reassemble
     the extracted text + its char span into the rendered document — all
     Column code (sequence/transform/substring/flatten)."""
-    wrap = F.lit(cfg.wrap_width).cast("long")
+    # B8: in "none" mode each block is one unwrapped line, so the effective
+    # per-block stride is the block's own length (n_lines=1 makes the slice
+    # arithmetic degenerate correctly); aspect/fixed share the global wrap
+    if cfg.norm_mode == "none":
+        wrap = F.greatest(F.col("n_chars"), F.lit(1)).cast("long")
+    else:
+        wrap = F.lit(cfg.wrap_width).cast("long")
 
     ok_windows = windows.filter(F.col("crop_x1").isNotNull())
     j = ok_windows.select(

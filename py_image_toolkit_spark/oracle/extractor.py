@@ -64,15 +64,25 @@ class LaidBlock:
         return (int(round(self.max_w / 2)), self.start_line)
 
 
-def layout_blocks(blocks: list[dict], wrap: int) -> tuple[list[LaidBlock], int, int]:
-    """Assign line geometry; returns (laid blocks, canvas_w, canvas_h)."""
+def layout_blocks(
+    blocks: list[dict], wrap: int, mode: str = "aspect"
+) -> tuple[list[LaidBlock], int, int]:
+    """Assign line geometry; returns (laid blocks, canvas_w, canvas_h).
+    ``mode`` is the B8 normalization dispatch (reference resize.py:106-120):
+    aspect (natural width) | fixed (every block wrap wide) | none (no wrap)."""
     laid: list[LaidBlock] = []
     line = 0
     canvas_w = 0
     for i, b in enumerate(blocks):
         n_chars = len(b["text"])
-        n_lines = (n_chars - 1) // wrap + 1
-        max_w = wrap if n_lines > 1 else n_chars
+        if mode == "none":
+            n_lines, max_w = 1, n_chars
+        else:
+            n_lines = (n_chars - 1) // wrap + 1
+            if mode == "fixed":
+                max_w = wrap
+            else:  # aspect (and unknown-mode fallback, ≙ resize.py none-guard)
+                max_w = wrap if n_lines > 1 else n_chars
         laid.append(
             LaidBlock(
                 block_id=i,
@@ -90,14 +100,16 @@ def layout_blocks(blocks: list[dict], wrap: int) -> tuple[list[LaidBlock], int, 
     return laid, canvas_w, line
 
 
-def block_lines(b: LaidBlock, wrap: int) -> list[str]:
+def block_lines(b: LaidBlock, wrap: int, mode: str = "aspect") -> list[str]:
+    if mode == "none":
+        return [b.text]
     return [b.text[i * wrap : (i + 1) * wrap] for i in range(b.n_lines)]
 
 
-def render_lines(laid: list[LaidBlock], wrap: int) -> list[str]:
+def render_lines(laid: list[LaidBlock], wrap: int, mode: str = "aspect") -> list[str]:
     lines: list[str] = []
     for b in laid:
-        lines.extend(block_lines(b, wrap))
+        lines.extend(block_lines(b, wrap, mode))
         lines.append("")
     return lines
 
@@ -165,7 +177,7 @@ def extract_document(url: str, html: bytes | None, cfg: ExtractConfig | None = N
     else:
         raw_blocks = segment_html(strip_noncontent(dec.text))
 
-    laid, canvas_w, canvas_h = layout_blocks(raw_blocks, cfg.wrap_width)
+    laid, canvas_w, canvas_h = layout_blocks(raw_blocks, cfg.wrap_width, cfg.norm_mode)
     candidates = [
         b
         for b in laid
@@ -178,7 +190,7 @@ def extract_document(url: str, html: bytes | None, cfg: ExtractConfig | None = N
 
     main = select_main(candidates, canvas_w, canvas_h, cfg)
     ref_center = main.top_center if cfg.ref_point == "top" else main.bbox_center
-    lines = render_lines(laid, cfg.wrap_width)
+    lines = render_lines(laid, cfg.wrap_width, cfg.norm_mode)
     ratio = G.parse_ratio(cfg.ratio)
 
     records: list[dict] = []

@@ -23,16 +23,29 @@ import re
 
 from py_image_toolkit_spark.functions import vocab as V
 
-_RRN_DASHED = re.compile(V.RRN_DASHED_RE)
-_RRN_PLAIN = re.compile(V.RRN_PLAIN_RE)
-_YEAR = re.compile(V.YEAR_RE)
-_MONTH = re.compile(V.MONTH_RE)
-_DAY = re.compile(V.DAY_RE)
-_NAME = re.compile(V.NAME_RE)
-_ADDR_UNIT = re.compile(V.ADDR_UNIT_RE)
-_ADDR_ROAD = re.compile(V.ADDR_ROAD_RE)
-_ADDR_SUFFIX = re.compile(V.ADDR_SUFFIX_RE)
-_ADDR_NUMERIC = re.compile(V.ADDR_NUMERIC_RE)
+# re.ASCII: the vocabulary regexes are deliberately ASCII-digit-only in BOTH
+# dialects — Java rlike's \d is ASCII, Python's is Unicode; without the flag
+# a full-width/Arabic-Indic digit token would label differently between
+# e3_impl=kernel (this module) and e3_impl=relational/arrays (rlike). The
+# parity fixture carries a non-ASCII-digit token to pin this down.
+_RRN_DASHED = re.compile(V.RRN_DASHED_RE, re.ASCII)
+_RRN_PLAIN = re.compile(V.RRN_PLAIN_RE, re.ASCII)
+_YEAR = re.compile(V.YEAR_RE, re.ASCII)
+_MONTH = re.compile(V.MONTH_RE, re.ASCII)
+_DAY = re.compile(V.DAY_RE, re.ASCII)
+_NAME = re.compile(V.NAME_RE, re.ASCII)
+_ADDR_UNIT = re.compile(V.ADDR_UNIT_RE, re.ASCII)
+_ADDR_ROAD = re.compile(V.ADDR_ROAD_RE, re.ASCII)
+_ADDR_SUFFIX = re.compile(V.ADDR_SUFFIX_RE, re.ASCII)
+_ADDR_NUMERIC = re.compile(V.ADDR_NUMERIC_RE, re.ASCII)
+
+_ASCII_DIGITS = frozenset("0123456789")
+
+
+def _ascii_digits(s: str) -> bool:
+    """ASCII-only stand-in for str.isdigit() (which accepts Unicode digits —
+    the rlike side's hardcoded ^[0-9]+$ does not)."""
+    return bool(s) and all(c in _ASCII_DIGITS for c in s)
 
 # precompiled alternations — C-level single scans replacing Python-level
 # keyword loops (semantics identical: substring-any ⟺ alternation search,
@@ -121,7 +134,7 @@ def label_tokens(tokens: list[str]) -> list[str]:
             road_guard = (
                 i > 0
                 and _ROAD_RE.search(tokens[i - 1]) is not None
-                and text.isdigit()
+                and _ascii_digits(text)
                 and len(text) <= 2
             )
             if not road_guard:
@@ -129,7 +142,7 @@ def label_tokens(tokens: list[str]) -> list[str]:
 
         if labels[i] == "O" and _is_addressish(text):
             # short bare digits without a clear indicator stay unlabeled
-            short_digit = text.isdigit() and len(text) <= 2
+            short_digit = _ascii_digits(text) and len(text) <= 2
             clear = _CLEAR_RE.search(text) is not None
             if not (short_digit and not clear):
                 labels[i] = "address"

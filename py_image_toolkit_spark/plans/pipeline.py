@@ -131,7 +131,7 @@ def extract(
         # exchange-free — the document text is shuffled exactly once
         pages = pages.repartition(n, F.col("url"))
 
-    blocks = segment_pages(pages, cfg.wrap_width)
+    blocks = segment_pages(pages, cfg.wrap_width, cfg.norm_mode)
     if staging_dir is not None:
         # Materialize the parse output to parquet instead of the executor
         # heap: the block table is consumed by four branches, and caching

@@ -89,3 +89,12 @@ def test_known_golden_values(spark):
     ok = eng[eng["success"]]
     assert len(ok) > 0
     assert ok["extracted_text"].str.len().min() > 0
+
+
+@pytest.mark.parametrize("mode", ["fixed", "none"])
+@pytest.mark.parametrize("impl", ["doc", "fused", "columns"])
+def test_parity_norm_modes(spark, mode, impl):
+    """B8 normalization dispatch (≙ reference resize.py:106-120
+    aspect_ratio|fixed|none): every pipeline implementation matches the
+    oracle byte-for-byte under each mode."""
+    assert_parity(spark, 40, ExtractConfig(extract_impl=impl, norm_mode=mode))

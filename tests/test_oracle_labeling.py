@@ -85,3 +85,16 @@ def test_issue_date_overwrite_by_address():
     # a date-shaped token with address indicators gets labeled address only
     # when it is not a pure date component; pure "12" with road prev stays O
     assert label_tokens(["2021"]) == ["issue_date"]
+
+
+def test_fullwidth_digits_are_not_ascii_digits():
+    """Dialect pin (round-1 ADVICE): the engine is deliberately
+    ASCII-digit-only in every E3 implementation — Java rlike's \\d is ASCII,
+    and the oracle/kernel path now compiles with re.ASCII. A full-width
+    digit token must stay 'O', not match the address-unit shape."""
+    from py_image_toolkit_spark.oracle.labeling import label_tokens
+
+    labels = label_tokens(["주민등록증", "박영수", "880505-1122334", "１２호"])
+    assert labels == ["document_title", "name", "rrn", "O"]
+    # and a full-width 'rrn' shaped token is not an rrn
+    assert label_tokens(["１２３４５６-１２３４５６７"]) == ["O"]
