@@ -982,9 +982,13 @@ def q19(spark, sf_dir):
     composed scale architecture (a full shingle self-join is quadratic in
     shared-shingle frequency: 397 s at sf0.1 vs seconds this way; LSH recall
     vs the exhaustive join measured at 99.4%)."""
-    shingles = D.shingle_df(_docs_df(spark, sf_dir), k=3)
+    # persist the shingle table: it feeds minhash, both sides of the verify
+    # join, AND the size counts — recomputing it (incl. its distinct
+    # shuffle) per consumer dominated the round-1 bench (59 s of 110 s).
+    # At 100 TB this is a materialized staging table, not an executor cache.
+    shingles = D.shingle_df(_docs_df(spark, sf_dir), k=3).persist()
     sigs = D.minhash_signatures(shingles, num_hashes=8)
-    cands = D.lsh_band_pairs(sigs, num_hashes=8, rows_per_band=2)
+    cands = D.lsh_band_pairs(sigs, num_hashes=8, rows_per_band=2).persist()
     return D.jaccard_pairs(shingles, min_jaccard=0.5, candidates=cands).orderBy(
         "id_a", "id_b"
     )
@@ -1054,7 +1058,9 @@ def q20(spark, sf_dir):
     """MinHash+LSH candidate pairs: shingle → 8 min-wise hashes → 4 bands →
     bucket self-join (the scale path: no O(n²) cross join)."""
     shingles = D.shingle_df(_docs_df(spark, sf_dir), k=3)
-    sigs = D.minhash_signatures(shingles, num_hashes=8)
+    # sigs is tiny (1 row/doc) but feeds BOTH sides of the bucket self-join —
+    # without the persist the whole shingle+minhash chain runs twice
+    sigs = D.minhash_signatures(shingles, num_hashes=8).persist()
     return D.lsh_band_pairs(sigs, num_hashes=8, rows_per_band=2).orderBy("id_a", "id_b")
 
 

@@ -55,7 +55,12 @@ def shingle_df(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
     """(id, shingle) rows — distinct word k-grams per document."""
-    arr = tokens_array(F.col(text_col))
+    # STAGE the token array as a named column first: inlining tokens_array()
+    # into the transform lambda makes Catalyst re-evaluate the full
+    # split+filter per shingle element (no CSE through higher-order
+    # functions) — O(L²) splitting per document; measured 18 s → 2 s at
+    # sf0.1 with the staged column.
+    arr = F.col("_toks")
     # guard short docs: size(arr) < k would make sequence(1, size-(k-1))
     # DESCENDING ([1, 0, ...]) and slice(arr, 0, k) throws
     # INVALID_PARAMETER_VALUE.START — a single short/empty document must not
@@ -67,9 +72,13 @@ def shingle_df(
             lambda i: F.array_join(F.slice(arr, i, k), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # NOTE: no size(shingles)>=1 filter — explode() of an empty array emits
+    # no rows already, and an extra size() predicate re-evaluates the whole
+    # (inlined) shingle construction a second time per row (measured: the
+    # redundant filter tripled this operator's cost at sf0.1)
     return (
-        df.select(F.col(id_col), sh.alias("shingles"))
-        .filter(F.size("shingles") >= 1)
+        df.withColumn("_toks", tokens_array(F.col(text_col)))
+        .select(F.col(id_col), sh.alias("shingles"))
         .select(id_col, F.explode("shingles").alias("shingle"))
         .distinct()
     )

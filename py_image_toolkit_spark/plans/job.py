@@ -76,7 +76,8 @@ def run_extraction_job(
         todo = pages.join(done.select("url").distinct(), "url", "left_anti")
     todo = repartition_by_url(todo, num_partitions)
 
-    result = extract(todo, cfg)
+    cache_handles: list = []
+    result = extract(todo, cfg, num_partitions=0, handles=cache_handles)
 
     # per-partition lineage (docs counted per task partition of the final
     # stage — written to the runs table alongside the commit)
@@ -115,5 +116,9 @@ def run_extraction_job(
     else:
         summary["snapshot_id"] = None
     result.unpersist()
+    for h in cache_handles:
+        # release the staged block/window caches — one leak per micro-batch
+        # otherwise (AvailableNow drains call this once per batch)
+        h.unpersist()
     summary["wall_s"] = time.time() - t0
     return summary

@@ -90,23 +90,29 @@ def extract(
     persist: bool = True,
     num_partitions: int | None = None,
     staging_dir: str | None = None,
+    handles: list | None = None,
 ) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) → extraction records.
 
-    ``persist=True`` (default) caches the parse output and the per-url
-    window table: both are consumed by several downstream branches (success
-    rows + three failure branches) — without it the expensive mapInPandas
-    parse re-runs once per branch, and predicate pushdown re-inlines the
-    geometry expressions into megabyte-scale filter trees.
+    The default implementation (``cfg.extract_impl="doc"``) is a single
+    Arrow stage with nothing cached — ``persist``/``staging_dir`` apply only
+    to the staged forms ("fused"/"columns"), whose block/window tables have
+    several consumers (success rows + three failure branches).
 
-    The input is explicitly repartitioned by url-hash before the parse
-    (north rule): html payloads compress well, so a parquet/Iceberg scan can
-    yield far fewer input splits than cores (maxPartitionBytes is sized for
-    bytes, not parse cost) — without this the Python parse stage runs on a
-    handful of cores. Pass ``num_partitions=0`` to keep the input
-    partitioning.
+    ``handles``: pass a list to receive every DataFrame this call persists —
+    unpersist them after materializing the result, or the cached block table
+    outlives the job in executor storage (one leak per AvailableNow
+    micro-batch on long drains).
+
+    The input is explicitly repartitioned by url before the parse (north
+    rule): html payloads compress well, so a parquet/Iceberg scan can yield
+    far fewer input splits than cores (maxPartitionBytes is sized for bytes,
+    not parse cost) — without this the Python parse stage runs on a handful
+    of cores. Pass ``num_partitions=0`` to keep the input partitioning.
     """
     cfg = cfg or ExtractConfig()
+    if handles is None:
+        handles = []  # caller declined ownership; leak-on-purpose as before
 
     out_cols = (
         ["url", "warc_ts", "lang", "rule", "success", "message", "encoding"]
@@ -151,11 +157,13 @@ def extract(
         )
     elif persist:
         blocks = blocks.persist()
+        handles.append(blocks)
     laid = layout_blocks_df(blocks, cfg)
     main = select_main_df(laid, cfg)
     windows = compute_windows_df(main, cfg)
     if persist:
         windows = windows.persist()
+        handles.append(windows)
     if cfg.extract_impl == "fused":
         # production path: crop slicing + labeling in one Arrow kernel that
         # emits COMPLETE success rows (meta rides through the kernel) — the

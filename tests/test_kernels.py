@@ -81,3 +81,36 @@ def test_pdf_plain_and_flate():
     pdf2 = (b"%PDF-1.4\n2 0 obj << /Filter /FlateDecode >>\nstream\n"
             + stream + b"\nendstream\n%%EOF")
     assert [b["text"] for b in extract_pdf_blocks(pdf2)] == ["compressed text"]
+
+
+def test_blocks_are_disjoint_on_canvas():
+    """B3 (NMS/overlap-dedup) is moot BY CONSTRUCTION: the virtual-canvas
+    layout assigns each block a contiguous line range [start_line,
+    start_line + n_lines) followed by one separator line, so block boxes can
+    never overlap — this property test checks the invariant instead of
+    assuming it (round-1 VERDICT item 9)."""
+    from py_image_toolkit_spark.config import ExtractConfig
+    from py_image_toolkit_spark.fixtures import pages_pandas
+    from py_image_toolkit_spark.oracle.extractor import layout_blocks
+    from py_image_toolkit_spark.kernels.normalize import decode_html, strip_noncontent
+    from py_image_toolkit_spark.kernels.segment import PDF_MAGIC, extract_pdf_blocks, segment_html
+
+    checked = 0
+    for mode in ("aspect", "fixed", "none"):
+        for _, row in pages_pandas(60).iterrows():
+            html = bytes(row["html"])
+            dec = decode_html(html)
+            if not dec.success:
+                continue
+            raw = (extract_pdf_blocks(html) if html.startswith(PDF_MAGIC)
+                   else segment_html(strip_noncontent(dec.text)))
+            laid, canvas_w, canvas_h = layout_blocks(raw, ExtractConfig().wrap_width, mode)
+            prev_end = -1
+            for b in laid:
+                assert b.start_line > prev_end, (mode, b.block_id)
+                assert b.n_lines >= 1 and b.max_w <= canvas_w
+                prev_end = b.start_line + b.n_lines - 1
+                checked += 1
+            if laid:
+                assert canvas_h == prev_end + 2  # trailing separator line
+    assert checked > 100  # non-vacuous across modes
