@@ -294,6 +294,7 @@ def embedding_neardup_pairs(
     min_cos_micro: int = 990_000,
     bucketed: bool = True,
     dims: tuple[int, ...] = (0, 8, 16, 24),
+    probe: int = 0,
 ) -> DataFrame:
     """Embedding near-duplicates: cosine ≥ threshold pairs.
 
@@ -301,10 +302,14 @@ def embedding_neardup_pairs(
     first (similarity.sign_lsh_bucket) and pair only within buckets — the
     corpus-sized shuffle is a bucket equijoin, O(n²/2^bits) candidate dot
     products instead of O(n²). Near-identical vectors (cos ≥ 0.99) share sign
-    bits on the sampled coordinates except when a coordinate sits near zero,
-    so recall is high but not exact; widen recall by probing more dims or
-    hamming-adjacent buckets. ``bucketed=False`` is the exact quadratic
-    baseline — small inputs only."""
+    bits on the sampled coordinates except when a coordinate sits near zero.
+
+    ``probe=1`` (multi-probe LSH): one side additionally probes every
+    hamming-1-adjacent bucket (len(dims)+1 probes), which recovers exactly
+    the pairs separated by a single sign flip on a near-zero sampled
+    coordinate — candidate volume grows ×(len(dims)+1), still nowhere near
+    O(n²). ``bucketed=False`` is the exact quadratic baseline — small inputs
+    only."""
     from py_image_toolkit_spark.operators.similarity import sign_lsh_bucket
 
     if bucketed:
@@ -313,15 +318,29 @@ def embedding_neardup_pairs(
             F.col(vec_col),
             sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
         )
-        a, b = src.alias("a"), src.alias("b")
-        cond = (F.col("a.bucket") == F.col("b.bucket")) & (
-            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-        )
+        if probe >= 1:
+            # expand probes on ONE side only (standard multi-probe): the
+            # pair (a, b) with hamming(bucket_a, bucket_b) <= 1 is found via
+            # a's probe list ∋ b.bucket
+            probes = F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(len(dims))],
+            )
+            a = src.withColumn("probe_bucket", F.explode(probes)).alias("a")
+            b = src.alias("b")
+            cond = (F.col("a.probe_bucket") == F.col("b.bucket")) & (
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+            )
+        else:
+            a, b = src.alias("a"), src.alias("b")
+            cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+            )
     else:
         a, b = emb.alias("a"), emb.alias("b")
         cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     cos = dot_cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-    return (
+    out = (
         a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -330,3 +349,6 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_micro") >= min_cos_micro)
     )
+    if bucketed and probe >= 1:
+        out = out.distinct()  # a pair can match via several probes
+    return out

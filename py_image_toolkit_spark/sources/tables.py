@@ -30,6 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_RE = re.compile(r"manifest-(\d+)\.json$")
 
 
+def _json_safe(v):
+    """Manifest stats must round-trip through JSON (timestamps → ISO)."""
+    if hasattr(v, "isoformat"):
+        return v.isoformat(sep=" ")
+    return v
+
+
 class SnapshotTable:
     def __init__(self, root: str):
         self.root = root
@@ -66,6 +73,7 @@ class SnapshotTable:
         run_id: str | None = None,
         meta: dict | None = None,
         encode: "EncodeOptions | None" = None,
+        stats_cols: tuple[str, ...] = (),
     ) -> int:
         """Write df to a fresh commit directory, then publish it with an
         optimistic-concurrency manifest commit. Returns the new snapshot id.
@@ -78,17 +86,41 @@ class SnapshotTable:
         silently drop the first commit's data directory from the lineage.
 
         ``encode`` routes through the E4 per-format options dispatch
-        (operators/encode.py ≙ reference optimize.py:39-53)."""
+        (operators/encode.py ≙ reference optimize.py:39-53).
+
+        ``stats_cols``: record per-commit min/max for these columns in the
+        manifest (Iceberg-style data-file stats). ``read(where=...)`` uses
+        them to skip whole commit directories — at 10^12 docs this is the
+        difference between scanning one day's append and the whole table.
+        The stats read comes from the just-written parquet footers via the
+        same Spark job (one cheap metadata-only aggregate)."""
         from py_image_toolkit_spark.operators.encode import encoded_writer
 
         token = uuid.uuid4().hex[:12]
         commit_dir = os.path.join(self.data_dir, f"commit-{token}")
         encoded_writer(df, "parquet", encode).mode("errorifexists").save(commit_dir)
 
+        stats: dict[str, list] = {}
+        if stats_cols:
+            from pyspark.sql import functions as F
+
+            written = df.sparkSession.read.parquet(commit_dir)
+            row = written.agg(
+                *[F.min(c).alias(f"mn_{c}") for c in stats_cols],
+                *[F.max(c).alias(f"mx_{c}") for c in stats_cols],
+            ).collect()[0]
+            stats = {
+                c: [_json_safe(row[f"mn_{c}"]), _json_safe(row[f"mx_{c}"])]
+                for c in stats_cols
+            }
+
         while True:
             prev = self.latest_snapshot()
             snapshot_id = (prev["snapshot_id"] + 1) if prev else 1
             dirs = (prev["data_dirs"] if prev else []) + [f"commit-{token}"]
+            commit_stats = dict(prev.get("commit_stats", {})) if prev else {}
+            if stats:
+                commit_stats[f"commit-{token}"] = stats
             manifest = {
                 "snapshot_id": snapshot_id,
                 "data_dirs": dirs,
@@ -96,6 +128,7 @@ class SnapshotTable:
                 "committed_at": time.time(),
                 "schema": df.schema.jsonValue(),
                 "meta": meta or {},
+                "commit_stats": commit_stats,
             }
             target = os.path.join(self.snap_dir, f"manifest-{snapshot_id}.json")
             # tmp-write + hard-link publish: link(2) is atomic for readers
@@ -116,9 +149,20 @@ class SnapshotTable:
 
     # -- read path -----------------------------------------------------------
 
-    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame | None:
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        where: dict | None = None,
+    ) -> DataFrame | None:
         """DataFrame over exactly the committed files (None if no snapshot
-        exists yet). ``snapshot_id`` time-travels to an older snapshot."""
+        exists yet). ``snapshot_id`` time-travels to an older snapshot.
+
+        ``where={col: (lo, hi)}`` prunes whole commit directories whose
+        recorded [min, max] for ``col`` does not intersect [lo, hi]
+        (Iceberg-style manifest pruning; commits without stats for ``col``
+        are conservatively kept). The residual row-level filter is still the
+        caller's job — this only shrinks the file listing."""
         if snapshot_id is None:
             snap = self.latest_snapshot()
         else:
@@ -126,7 +170,22 @@ class SnapshotTable:
             snap = json.load(open(path)) if os.path.exists(path) else None
         if snap is None or not snap["data_dirs"]:
             return None
-        paths = [os.path.join(self.data_dir, d) for d in snap["data_dirs"]]
+        dirs = snap["data_dirs"]
+        if where:
+            cstats = snap.get("commit_stats", {})
+            dirs = [
+                d for d in dirs
+                if all(
+                    d not in cstats
+                    or c not in cstats[d]
+                    or cstats[d][c][0] is None
+                    or not (hi < cstats[d][c][0] or lo > cstats[d][c][1])
+                    for c, (lo, hi) in where.items()
+                )
+            ]
+        if not dirs:
+            return None
+        paths = [os.path.join(self.data_dir, d) for d in dirs]
         return spark.read.parquet(*paths)
 
     def diff(self, spark: SparkSession, from_snapshot: int, to_snapshot: int) -> DataFrame | None:

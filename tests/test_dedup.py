@@ -108,3 +108,31 @@ def test_embedding_neardup_bucketed_plan_has_equijoin(spark):
         ).collect()
     }
     assert got == brute
+
+
+def test_embedding_neardup_multiprobe_recovers_sign_flip(spark):
+    """probe=1 finds the pair whose near-zero sampled coordinate flips sign
+    between the two vectors (single-probe bucketing misses it by design)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(32)
+    base[0] = 1e-4  # sampled dim 0 sits at the hyperplane
+    twin = base.copy()
+    twin[0] = -1e-4  # sign flip on dim 0 → different bucket, cos ≈ 1
+    rows = [(0, [float(x) for x in base]), (1, [float(x) for x in twin])] + [
+        (i, [float(x) for x in rng.randn(32)]) for i in range(2, 30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    single = {(r.id_a, r.id_b)
+              for r in D.embedding_neardup_pairs(emb, min_cos_micro=990_000).collect()}
+    multi = {(r.id_a, r.id_b)
+             for r in D.embedding_neardup_pairs(emb, min_cos_micro=990_000,
+                                                probe=1).collect()}
+    assert (0, 1) not in single  # the known single-probe blind spot
+    assert (0, 1) in multi
+    brute = {(r.id_a, r.id_b)
+             for r in D.embedding_neardup_pairs(emb, min_cos_micro=990_000,
+                                                bucketed=False).collect()}
+    assert multi == brute  # on this corpus multi-probe is fully exact

@@ -88,3 +88,53 @@ def test_available_now_streaming(spark, tmp_path):
                       ExtractConfig(), max_files_per_trigger=4)
     dupes = out.read(spark).groupBy("url", "rule").count().filter("count > 1").count()
     assert dupes == 0
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): each distinct text
+    is emitted exactly once even when its duplicates arrive in LATER
+    micro-batches — per-batch dropDuplicates cannot do this."""
+    import os
+
+    from py_image_toolkit_spark.streaming.stateful import streaming_exact_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # batch 1: docs 1-3 (3 distinct texts, one in-batch dup)
+    # coalesce(1): one FILE per batch dir — with maxFilesPerTrigger=1 each
+    # file IS a micro-batch, so multi-file writes would split a batch's rows
+    # nondeterministically across triggers (first-seen winner would then be
+    # trigger-order-dependent, which is correct behavior but untestable)
+    spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    # batch 2: doc 4 duplicates batch-1 text; doc 5 is new
+    spark.createDataFrame(
+        [(4, "beta text"), (5, "gamma text")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b2"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    out = []
+
+    def sink(batch_df, batch_id):
+        out.extend(batch_df.collect())
+
+    (
+        streaming_exact_dedup(stream)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got = {r["text"]: (r["doc_id"], r["n_dropped"]) for r in out}
+    assert set(got) == {"alpha text", "beta text", "gamma text"}
+    assert got["alpha text"][0] == 1  # lowest doc_id wins within the batch
+    # each text emitted exactly once across ALL batches
+    assert len(out) == 3

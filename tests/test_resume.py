@@ -88,3 +88,33 @@ def test_snapshot_diff_incremental_read(spark, tmp_path):
     run_extraction_job(spark, pages, out, runs, CFG, run_id="r2")
     delta = out.diff(spark, 1, 2)
     assert delta.count() == out.read(spark).count() - out.read(spark, snapshot_id=1).count()
+
+
+def test_manifest_stats_prune_commits(spark, tmp_path):
+    """Iceberg-style commit pruning: read(where=...) skips whole commit
+    directories whose recorded [min,max] cannot intersect the predicate."""
+    from py_image_toolkit_spark.sources.tables import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "pruned"))
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 100).withColumnRenamed("id", "v")
+        tbl.append(df, run_id=f"r{lo}", stats_cols=("v",))
+
+    full = tbl.read(spark)
+    assert full.count() == 300
+
+    pruned = tbl.read(spark, where={"v": (150, 160)})
+    assert pruned.count() == 100  # only the [100,199] commit survives
+    # the pruned plan lists exactly one commit directory
+    files = pruned.inputFiles()
+    assert len({f.split("/commit-")[1].split("/")[0] for f in files}) == 1
+
+    # no-stats commits are conservatively kept
+    tbl.append(spark.range(900, 910).withColumnRenamed("id", "v"), run_id="nostats")
+    kept = tbl.read(spark, where={"v": (150, 160)})
+    assert kept.count() == 110  # matching commit + the stats-less one
+
+    # fully disjoint predicate over only-stats commits -> None when nothing survives
+    none_df = SnapshotTable(str(tmp_path / "p2"))
+    none_df.append(spark.range(5).withColumnRenamed("id", "v"), stats_cols=("v",))
+    assert none_df.read(spark, where={"v": (100, 200)}) is None
