@@ -1312,6 +1312,44 @@ def q29(spark, sf_dir):
     )
 
 
+@register(
+    "q30_embedding_neardup_multiprobe",
+    """
+    WITH coded AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        CAST((CASE WHEN embedding[1]  >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[9]  >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[25] >= 0 THEN 8 ELSE 0 END) AS INTEGER) AS bucket
+      FROM embeddings
+    ),
+    probed AS (  -- one side probes its bucket plus the 4 hamming-1 buckets
+      SELECT vec_id, v, xor(bucket, flip) AS probe_bucket
+      FROM coded, UNNEST([0, 1, 2, 4, 8]) AS t(flip)
+    )
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+      CAST(FLOOR(list_dot_product(a.v, b.v)
+           / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))
+           * 1000000 + 0.5) AS BIGINT) AS cos_micro
+    FROM probed a JOIN coded b
+      ON a.probe_bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE FLOOR(list_dot_product(a.v, b.v)
+          / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))
+          * 1000000 + 0.5) >= 900000
+    ORDER BY id_a, id_b
+    """,
+)
+def q30(spark, sf_dir):
+    """Multi-probe sign-LSH near-duplicates (probe=1): one side also probes
+    every hamming-1 bucket, recovering pairs split by a single sign flip on
+    a near-zero coordinate — candidates ×(bits+1), never O(n²). Oracle
+    applies the identical probe expansion."""
+    emb = t(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(emb, min_cos_micro=900_000, probe=1).orderBy(
+        "id_a", "id_b"
+    )
+
+
 # --------------------------------------------------------------------------
 # E. flagship: the full extraction pipeline over pages built from the
 #    driver's documents table (rows-only driver check; byte-parity vs the
