@@ -165,7 +165,7 @@ def extract(
         windows = windows.persist()
         handles.append(windows)
     if cfg.extract_impl == "fused":
-        # production path: crop slicing + labeling in one Arrow kernel that
+        # staged form: crop slicing + labeling in one Arrow kernel that
         # emits COMPLETE success rows (meta rides through the kernel) — the
         # text-bearing output is never joined back to the window table, so
         # the only wide shuffle in the whole stage is the url repartition
