@@ -208,7 +208,12 @@ def window_geometry(
         ny1 = F.greatest(F.lit(0), py1 - pad_y)
         nx2 = F.least(F.col("canvas_w"), px2 + pad_x)
         ny2 = F.least(F.col("canvas_h"), py2 + pad_y)
-        ok = (nx1 < nx2) & (ny1 < ny2)
+        # NULL guard is load-bearing: Spark's greatest/least SKIP nulls
+        # (greatest(0, null) = 0, least(canvas_w, null) = canvas_w), so a
+        # degenerate row's null coords would otherwise be "padded" into a
+        # full-canvas window and flip into a spurious success (found by the
+        # hypothesis config sweep: ratio=100:1 + padding>0)
+        ok = px1.isNotNull() & (nx1 < nx2) & (ny1 < ny2)
         out = (
             out.withColumn("_nx1", F.when(ok, nx1).otherwise(px1))
             .withColumn("_ny1", F.when(ok, ny1).otherwise(py1))

@@ -37,6 +37,17 @@ def test_parity_staged_fused_degenerate(spark):
     assert_parity(spark, 24, ExtractConfig(extract_impl="fused", ratio="100:1"))
 
 
+@pytest.mark.parametrize("impl", ["doc", "fused", "columns"])
+def test_parity_padding_on_degenerate_windows(spark, impl):
+    """Regression (found by the hypothesis config sweep): Spark greatest/
+    least SKIP nulls, so the padding stage used to resurrect degenerate
+    (null-coord) windows as full-canvas crops — a spurious success row per
+    degenerate (url, rule)."""
+    cfg = ExtractConfig(rules=("thirds",), ratio="100:1",
+                        padding_percent=5.5, extract_impl=impl)
+    assert_parity(spark, 14, cfg)
+
+
 def test_parity_center_method_ratio_padding(spark):
     cfg = ExtractConfig(method="center", ratio="16:9", padding_percent=10.0,
                         rules=("golden",))
