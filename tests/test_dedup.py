@@ -136,3 +136,26 @@ def test_embedding_neardup_multiprobe_recovers_sign_flip(spark):
              for r in D.embedding_neardup_pairs(emb, min_cos_micro=990_000,
                                                 bucketed=False).collect()}
     assert multi == brute  # on this corpus multi-probe is fully exact
+
+
+def test_dedup_chain_robust_to_arbitrary_text(spark):
+    """Fuzz the full shingle→minhash→LSH→jaccard chain with adversarial
+    texts (empty, whitespace, unicode digits, huge tokens, newlines, regex
+    metachars): the job must complete and never emit a self-pair."""
+    texts = [
+        "", "   ", "\n\n\t", "one", "１２ ３４ ５６ ７８",
+        "a " * 500, "x" * 5000,
+        "same same same same same", "same same same same same",
+        ".* (|) [a-z] \\d {2,3} $^", "한글 텍스트 토큰 분할 검사 진행",
+        "mixed 한글 and english tokens 123 456-789",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    sh = D.shingle_df(df, k=3)
+    sigs = D.minhash_signatures(sh, num_hashes=8)
+    cands = D.lsh_band_pairs(sigs, num_hashes=8, rows_per_band=2)
+    pairs = D.jaccard_pairs(sh, min_jaccard=0.5, candidates=cands).collect()
+    assert all(r.id_a < r.id_b for r in pairs)
+    assert {(r.id_a, r.id_b) for r in pairs} >= {(7, 8)}  # the exact dup pair
+    # exact dedup agrees on the duplicate group
+    groups = D.exact_dedup(df).collect()
+    assert {(g.canonical_id, g.n_dups) for g in groups} == {(7, 2)}
