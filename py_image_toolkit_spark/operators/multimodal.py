@@ -103,11 +103,25 @@ def decode_features(df: DataFrame, fake: bool = True, dim: int = 8) -> DataFrame
     return df.select("media_id", "kind", "payload").mapInPandas(run, FEATURES_SCHEMA)
 
 
-def resize_plan(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Aspect-fit output dims from metadata (reference resize.py:41-69 math,
-    int() truncation) — planning only, no pixel work."""
+def resize_plan(
+    df: DataFrame, target_w: int, target_h: int, mode: str = "aspect_ratio"
+) -> DataFrame:
+    """Output dims from metadata (planning only, no pixel work) with the
+    reference's full mode dispatch (resize.py:106-120):
+
+    - ``aspect_ratio``: largest fit preserving ratio (resize.py:41-69 math,
+      int() truncation)
+    - ``fixed``: exactly (target_w, target_h) — distorting
+    - ``none``: original dims pass through unchanged
+    """
     ow = F.col("meta.width").cast("long")
     oh = F.col("meta.height").cast("long")
+    if mode == "none":
+        return df.withColumn("out_w", ow).withColumn("out_h", oh)
+    if mode == "fixed":
+        return df.withColumn("out_w", F.lit(target_w).cast("long")).withColumn(
+            "out_h", F.lit(target_h).cast("long")
+        )
     ratio = F.least(F.lit(target_w) * 1.0 / ow, F.lit(target_h) * 1.0 / oh)
     return df.withColumn(
         "out_w", F.greatest(F.lit(1), F.floor(ow * ratio)).cast("long")

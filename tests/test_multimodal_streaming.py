@@ -138,3 +138,17 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert got["alpha text"][0] == 1  # lowest doc_id wins within the batch
     # each text emitted exactly once across ALL batches
     assert len(out) == 3
+
+
+def test_resize_plan_mode_dispatch(media):
+    """Reference resize.py:106-120 mode dispatch on the metadata planner."""
+    fixed = {r["media_id"]: (r["out_w"], r["out_h"])
+             for r in resize_plan(media, 320, 240, mode="fixed").collect()}
+    assert fixed[1] == (320, 240) and fixed[2] == (320, 240)
+    none = {r["media_id"]: (r["out_w"], r["out_h"])
+            for r in resize_plan(media, 320, 240, mode="none").collect()}
+    assert none[1] == (640, 480) and none[4] == (1280, 720)
+    aspect = {r["media_id"]: (r["out_w"], r["out_h"])
+              for r in resize_plan(media, 320, 240).collect()}
+    assert aspect[1] == (320, 240)       # 4:3 → exact fit
+    assert aspect[2] == (320, 180)       # 16:9 fit inside 320x240
