@@ -24,14 +24,19 @@ def _bind_spark(spark):
 
 configs = st.builds(
     ExtractConfig,
-    wrap_width=st.sampled_from([40, 80, 120]),
+    wrap_width=st.sampled_from([20, 40, 80, 120, 200]),
     norm_mode=st.sampled_from(["aspect", "fixed", "none"]),
-    min_score=st.sampled_from([0.0, 0.6, 0.9]),
-    method=st.sampled_from(["largest", "center"]),
+    min_block_w=st.sampled_from([1, 5, 30]),
+    min_block_h=st.sampled_from([1, 3]),
+    min_score=st.sampled_from([0.0, 0.4, 0.6, 0.95]),
+    # includes the unknown-method fallback path (≙ reference crop.py:200-202)
+    method=st.sampled_from(["largest", "center", "bogus-mode"]),
     ref_point=st.sampled_from(["box", "top"]),
-    rules=st.sampled_from([("thirds",), ("golden",), ("thirds", "golden")]),
-    ratio=st.sampled_from([None, "16:9", "1:1", "3.5", "100:1"]),
-    padding_percent=st.sampled_from([0.0, 5.5, 12.0]),
+    # includes the unknown-rule center fallback (H5)
+    rules=st.sampled_from([("thirds",), ("golden",), ("thirds", "golden"),
+                           ("mystery",), ("golden", "thirds", "mystery")]),
+    ratio=st.sampled_from([None, "16:9", "1:1", "3.5", "100:1", "1:100", "0.2"]),
+    padding_percent=st.sampled_from([0.0, 2.5, 5.5, 12.0, 45.0]),
     extract_impl=st.sampled_from(["doc", "fused"]),
 )
 
