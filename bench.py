@@ -91,6 +91,20 @@ def run_bench(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
             extract_s = dt if extract_s is None else min(extract_s, dt)
         timings["extract_pipeline"] = round(extract_s, 3)
 
+        # Untimed codegen warm-up at sf0.001: the first execution of each
+        # fresh expression tree pays janino compilation + JIT — measured as a
+        # 2-4× first-trial penalty at sf0.1 (q17: 25.6 s cold vs 6.8 s warm
+        # on identical plans). Warming on the tiny SF (<1 s/query) makes the
+        # timed trials measure the PLAN, not the JVM's first-compile.
+        warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+        if os.path.isdir(warm_dir):
+            for name in BENCH_QUERIES:
+                contract.QUERIES[name](spark, warm_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                contract.release_persists()
+                spark.catalog.clearCache()
+
         for name in BENCH_QUERIES:
             best = None
             for _ in range(trials):
@@ -99,6 +113,7 @@ def run_bench(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
                 df.write.mode("overwrite").format("noop").save()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
+                contract.release_persists()
                 spark.catalog.clearCache()  # queries persist staging tables
             timings[name] = round(best, 3)
     finally:

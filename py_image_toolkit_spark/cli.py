@@ -45,8 +45,9 @@ def _add_config_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--impl", default="doc", choices=["doc", "fused", "columns"],
                    help="pipeline implementation (doc = zero-shuffle production)")
     p.add_argument("--num-partitions", type=int, default=None,
-                   help="parse-stage parallelism (default 2x defaultParallelism; "
-                        "0 keeps the input partitioning)")
+                   help="parse-stage parallelism (extract/resume default: "
+                        "defaultParallelism; bench default: 2x; 0 keeps the "
+                        "input partitioning)")
 
 
 def _config_from(args: argparse.Namespace):

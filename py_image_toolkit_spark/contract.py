@@ -26,6 +26,25 @@ _PHI_INV = (math.sqrt(5) - 1) / 2
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
+# Multi-consumer intermediates some queries cache (q19/q20). The returned
+# DataFrame is lazy, so the query fn cannot unpersist before the caller
+# materializes — instead every persist is tracked here and released by
+# ``release_persists()``, which harnesses call after materializing (bench.py
+# additionally clearCache()s between trials). Without this, contract-test
+# runs accumulate cached shingle/candidate tables across queries.
+PERSIST_HANDLES: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    PERSIST_HANDLES.append(df)
+    return df
+
+
+def release_persists() -> None:
+    while PERSIST_HANDLES:
+        PERSIST_HANDLES.pop().unpersist()
+
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -986,9 +1005,9 @@ def q19(spark, sf_dir):
     # join, AND the size counts — recomputing it (incl. its distinct
     # shuffle) per consumer dominated the round-1 bench (59 s of 110 s).
     # At 100 TB this is a materialized staging table, not an executor cache.
-    shingles = D.shingle_df(_docs_df(spark, sf_dir), k=3).persist()
+    shingles = _persist(D.shingle_df(_docs_df(spark, sf_dir), k=3))
     sigs = D.minhash_signatures(shingles, num_hashes=8)
-    cands = D.lsh_band_pairs(sigs, num_hashes=8, rows_per_band=2).persist()
+    cands = _persist(D.lsh_band_pairs(sigs, num_hashes=8, rows_per_band=2))
     return D.jaccard_pairs(shingles, min_jaccard=0.5, candidates=cands).orderBy(
         "id_a", "id_b"
     )
@@ -1060,7 +1079,7 @@ def q20(spark, sf_dir):
     shingles = D.shingle_df(_docs_df(spark, sf_dir), k=3)
     # sigs is tiny (1 row/doc) but feeds BOTH sides of the bucket self-join —
     # without the persist the whole shingle+minhash chain runs twice
-    sigs = D.minhash_signatures(shingles, num_hashes=8).persist()
+    sigs = _persist(D.minhash_signatures(shingles, num_hashes=8))
     return D.lsh_band_pairs(sigs, num_hashes=8, rows_per_band=2).orderBy("id_a", "id_b")
 
 
@@ -1298,16 +1317,21 @@ def q28(spark, sf_dir):
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE FLOOR(list_dot_product(a.v, b.v)
           / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))
-          * 1000000 + 0.5) >= 900000
+          * 1000000 + 0.5) >= 400000
     ORDER BY id_a, id_b
     """,
 )
 def q29(spark, sf_dir):
     """Embedding near-duplicate pairs, sign-LSH bucketed (the scale path:
     bucket equijoin prunes candidates ~2^bits before any dot product — never
-    the O(n²) cross join). Oracle applies the identical bucketing."""
+    the O(n²) cross join). Oracle applies the identical bucketing.
+
+    Threshold note: the operator-API default is 0.99 cosine, but the driver
+    fixture's max *bucketed* pairwise cosine is 0.472 at sf0.01 / 0.517 at
+    sf0.1 — a 0.99 registration matches a 0-row oracle vacuously (round-2
+    verdict). 0.40 attests the full bucket→join→cosine path with real rows."""
     emb = t(spark, sf_dir, "embeddings")
-    return D.embedding_neardup_pairs(emb, min_cos_micro=900_000).orderBy(
+    return D.embedding_neardup_pairs(emb, min_cos_micro=400_000).orderBy(
         "id_a", "id_b"
     )
 
@@ -1335,7 +1359,7 @@ def q29(spark, sf_dir):
       ON a.probe_bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE FLOOR(list_dot_product(a.v, b.v)
           / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))
-          * 1000000 + 0.5) >= 900000
+          * 1000000 + 0.5) >= 400000
     ORDER BY id_a, id_b
     """,
 )
@@ -1343,9 +1367,13 @@ def q30(spark, sf_dir):
     """Multi-probe sign-LSH near-duplicates (probe=1): one side also probes
     every hamming-1 bucket, recovering pairs split by a single sign flip on
     a near-zero coordinate — candidates ×(bits+1), never O(n²). Oracle
-    applies the identical probe expansion."""
+    applies the identical probe expansion.
+
+    Threshold 0.40 (not the 0.99 API default) so the fixture attests the
+    probe expansion with non-zero rows — see q29's threshold note; the
+    multiprobe result is a strict superset of q29's on identical inputs."""
     emb = t(spark, sf_dir, "embeddings")
-    return D.embedding_neardup_pairs(emb, min_cos_micro=900_000, probe=1).orderBy(
+    return D.embedding_neardup_pairs(emb, min_cos_micro=400_000, probe=1).orderBy(
         "id_a", "id_b"
     )
 

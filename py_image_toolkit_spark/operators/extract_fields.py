@@ -67,10 +67,14 @@ def tokenize_df(
     ).withColumn("seq", F.col("seq").cast("long"))
 
 
-def classify_token(t: Column, prev: Column) -> Column:
+def classify_token(t: Column, prev: Column, road_guard: Column | None = None) -> Column:
     """H9-H14 classifier for one token given the previous token (C4 road
     guard) — shared by the window implementation (prev = lag) and the
-    zero-shuffle array implementation (prev = element_at(toks, i))."""
+    zero-shuffle array implementation (prev = element_at(toks, i)).
+
+    ``road_guard`` overrides the C4 guard predicate so the dictionary
+    encoding in :func:`label_pass1` can evaluate both guard outcomes on the
+    distinct-token table (where no ``prev`` exists)."""
     is_title = t.isin(*V.DOC_TITLE_KEYWORDS)
     rrn_clean = F.regexp_replace(F.regexp_replace(t, "-", ""), " ", "")
     is_rrn = t.rlike(_anchored(V.RRN_DASHED_RE)) | rrn_clean.rlike(_anchored(V.RRN_PLAIN_RE))
@@ -85,12 +89,13 @@ def classify_token(t: Column, prev: Column) -> Column:
         | t.rlike(_anchored(V.MONTH_RE))
         | t.rlike(_anchored(V.DAY_RE))
     )
-    road_guard = (
-        prev.isNotNull()
-        & _contains_any(prev, V.ROAD_KEYWORDS)
-        & t.rlike(DIGITS_RE)
-        & (F.length(t) <= 2)
-    )
+    if road_guard is None:
+        road_guard = (
+            prev.isNotNull()
+            & _contains_any(prev, V.ROAD_KEYWORDS)
+            & t.rlike(DIGITS_RE)
+            & (F.length(t) <= 2)
+        )
     is_addressish = (
         _contains_any(t, V.ADDRESS_KEYWORDS)
         | t.rlike(V.ADDR_UNIT_RE)
@@ -115,12 +120,51 @@ def classify_token(t: Column, prev: Column) -> Column:
     )
 
 
-def label_pass1(tokens: DataFrame, keys: Sequence[str]) -> DataFrame:
-    """H9-H14 per-token classifier + C4 road-number guard (window form)."""
+def label_pass1(
+    tokens: DataFrame, keys: Sequence[str], dict_encode: bool = True
+) -> DataFrame:
+    """H9-H14 per-token classifier + C4 road-number guard (window form).
+
+    ``dict_encode=True`` (default) runs the ~40 keyword/regex tests once per
+    DISTINCT token and broadcast-joins the labels back, instead of once per
+    token occurrence: natural-language vocabularies are Zipf-bounded, so at
+    corpus scale this cuts classifier CPU by the occurrence/vocabulary ratio
+    (map-side partial aggregation keeps the distinct cheap — only
+    vocabulary-sized data shuffles). The C4 guard depends on the PREVIOUS
+    token, so the dictionary carries both guard outcomes (`_lbl_base`,
+    `_lbl_guard`) plus the two per-token guard inputs; the window pass then
+    only evaluates a lag() and a boolean pick — byte-identical to the direct
+    form (asserted by the q15-q17 SQL oracles and the engine parity suite).
+    For adversarial near-all-unique vocabularies pass ``dict_encode=False``
+    (the dictionary must fit the broadcast threshold)."""
     w = Window.partitionBy(*keys).orderBy("seq")
-    return tokens.withColumn(
-        "label", classify_token(F.col("token"), F.lag("token").over(w))
+    if not dict_encode:
+        return tokens.withColumn(
+            "label", classify_token(F.col("token"), F.lag("token").over(w))
+        )
+    t = F.col("token")
+    dic = (
+        tokens.select("token")
+        .distinct()
+        .select(
+            "token",
+            classify_token(t, F.lit(None).cast("string")).alias("_lbl_base"),
+            classify_token(t, None, road_guard=F.lit(True)).alias("_lbl_guard"),
+            _contains_any(t, V.ROAD_KEYWORDS).alias("_is_road"),
+            (t.rlike(DIGITS_RE) & (F.length(t) <= 2)).alias("_guardable"),
+        )
     )
+    # broadcast keeps the input's (keys)-partitioning intact, so the lag()
+    # window below still reuses the upstream exchange
+    joined = tokens.join(F.broadcast(dic), "token", "left")
+    prev_road = F.coalesce(F.lag("_is_road").over(w), F.lit(False))
+    label = F.coalesce(
+        F.when(prev_road & F.col("_guardable"), F.col("_lbl_guard")).otherwise(
+            F.col("_lbl_base")
+        ),
+        F.lit("O"),  # null-token rows miss the dictionary; classifier says O
+    )
+    return joined.select(*tokens.columns, label.alias("label"))
 
 
 def label_name_inference(labeled: DataFrame, keys: Sequence[str]) -> DataFrame:

@@ -128,7 +128,12 @@ def _make_stream_kernel(wrap: int, norm_mode: str = "aspect"):
     return run
 
 
-def fused_extract_df(laid: DataFrame, windows: DataFrame, cfg: ExtractConfig) -> DataFrame:
+def fused_extract_df(
+    laid: DataFrame,
+    windows: DataFrame,
+    cfg: ExtractConfig,
+    assume_url_clustered: bool = False,
+) -> DataFrame:
     """laid blocks + per-(url, rule) rects → (url, rule, extracted_text,
     span, 6 fields).
 
@@ -138,7 +143,16 @@ def fused_extract_df(laid: DataFrame, windows: DataFrame, cfg: ExtractConfig) ->
     rects aggregation and the join are shuffle-free, and the only data
     movement left in the whole extract stage is the map-side sort of each
     partition. The text column is never shuffled again and never built into
-    per-document arrays."""
+    per-document arrays.
+
+    Precondition: the streaming kernel flushes a url-group per contiguous
+    run, so every url's rows must land in ONE partition. A shuffled url
+    equijoin guarantees this, but when the rects side broadcasts, ``laid``'s
+    own partitioning survives — a url split across partitions would emit
+    duplicated (url, rule) rows with truncated text. Default
+    ``assume_url_clustered=False`` therefore repartitions the joined rows by
+    url; plans/pipeline.py passes True because it stages ``laid``
+    url-partitioned (round-2 advice: assert-or-repartition, not assume)."""
     wg = (
         windows.filter(F.col("crop_x1").isNotNull())
         .groupBy("url")
@@ -151,11 +165,11 @@ def fused_extract_df(laid: DataFrame, windows: DataFrame, cfg: ExtractConfig) ->
             *[F.first(k).alias(k) for k in _META_KEYS],
         )
     )
-    flat = (
-        laid.select("url", "block_id", "btext", "n_lines")
-        .join(wg, "url")
-        .sortWithinPartitions("url", "block_id")
-    )
+    flat = laid.select("url", "block_id", "btext", "n_lines").join(wg, "url")
+    if not assume_url_clustered:
+        n = flat.sparkSession.sparkContext.defaultParallelism * 2
+        flat = flat.repartition(n, F.col("url"))
+    flat = flat.sortWithinPartitions("url", "block_id")
     return flat.mapInPandas(
         _make_stream_kernel(cfg.wrap_width, cfg.norm_mode), FUSED_SCHEMA
     )

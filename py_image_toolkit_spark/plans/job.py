@@ -39,8 +39,22 @@ def salted_two_stage_agg(
     """Skew-safe aggregation: stage 1 groups by (key, salt) so one hot key
     spreads over ``n_salts`` reducers, stage 2 combines partials.
     ``aggs`` maps output name → (partial_expr_fn, combine_fn); both are
-    (colname → Column) builders. Only algebraic aggregates compose this way
-    (sum/count/min/max)."""
+    (colname → Column) builders.
+
+    When this actually wins: for ALGEBRAIC aggregates (sum/count/min/max)
+    Spark's map-side partial aggregation already collapses a hot key to one
+    row per map task — a plain groupBy is skew-proof and one shuffle cheaper
+    than this helper. Reach for salting on HOLISTIC aggregates
+    (collect_set/collect_list/exact-distinct) whose per-key state grows with
+    the group: there the hot key's state is built single-threaded on one
+    reducer, and stage-1 salting parallelizes it ``n_salts``-ways
+    (benchmarked in BENCH/BASELINE.md "salted holistic agg").
+
+    The salt is ``xxhash64`` of the full row — deterministic, so duplicate
+    rows land in the same salt bucket. Corollary for exact distinct: project
+    ``df`` to exactly (key, value) first, then values are DISJOINT across a
+    key's salt buckets and the stage-2 combine is a plain SUM of partial
+    sizes — no element merge ever happens on one reducer."""
     salt = (F.xxhash64(*df.columns) % n_salts).alias("_salt")
     stage1 = df.groupBy(F.col(key_col), salt).agg(
         *[fn(name) for name, (fn, _) in aggs.items()]
@@ -66,7 +80,8 @@ def run_extraction_job(
     """One resumable job run. Returns the run summary (counters ≙ D7)."""
     cfg = cfg or ExtractConfig()
     run_id = run_id or f"run-{int(time.time() * 1000)}"
-    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
 
     t0 = time.time()
     done = out_table.read(spark)
@@ -74,7 +89,8 @@ def run_extraction_job(
     if done is not None:
         # resume: anything already committed is skipped before ANY work
         todo = pages.join(done.select("url").distinct(), "url", "left_anti")
-    todo = repartition_by_url(todo, num_partitions)
+    if num_partitions != 0:  # 0 = keep the input partitioning (CLI contract)
+        todo = repartition_by_url(todo, num_partitions)
 
     cache_handles: list = []
     result = extract(todo, cfg, num_partitions=0, handles=cache_handles)

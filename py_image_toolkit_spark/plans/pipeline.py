@@ -171,7 +171,7 @@ def extract(
         # the only wide shuffle in the whole stage is the url repartition
         # (operators/extract_kernel.py — see rationale there)
         ok = (
-            fused_extract_df(laid, windows, cfg)
+            fused_extract_df(laid, windows, cfg, assume_url_clustered=True)
             .withColumn("success", F.lit(True))
             .withColumn("message", F.coalesce(F.col("dec_message"), F.lit("")))
         )

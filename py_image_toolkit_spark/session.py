@@ -65,6 +65,11 @@ def build_session(
         "spark.sql.parquet.compression.codec": "zstd",
         # Keep timestamps deterministic across engines (oracle parity).
         "spark.sql.session.timeZone": "UTC",
+        # int64 micros (not legacy INT96): Iceberg's required parquet
+        # timestamp physical type, and INT96 columns carry no footer
+        # min/max statistics — the snapshot layer's metadata-only commit
+        # stats (sources/tables.py) need them for warc_ts pruning.
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
         "spark.ui.enabled": "false",
     }

@@ -31,10 +31,52 @@ _MANIFEST_RE = re.compile(r"manifest-(\d+)\.json$")
 
 
 def _json_safe(v):
-    """Manifest stats must round-trip through JSON (timestamps → ISO)."""
+    """Manifest stats must round-trip through JSON (timestamps → ISO with a
+    space separator — lexicographic order == chronological order, so pruning
+    comparisons on the stored strings stay correct)."""
     if hasattr(v, "isoformat"):
         return v.isoformat(sep=" ")
     return v
+
+
+def _footer_stats(commit_dir: str, stats_cols: tuple[str, ...]) -> dict[str, list]:
+    """Per-column [min, max] from parquet row-group footer statistics —
+    metadata-only (never scans column data). A column missing min/max in any
+    row group is recorded as [None, None] (pruning keeps it)."""
+    import pyarrow.parquet as pq
+
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    known = set(stats_cols)
+    for fname in sorted(os.listdir(commit_dir)):
+        if not fname.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(commit_dir, fname)).metadata
+        idx = {md.schema.column(i).path: i for i in range(md.num_columns)}
+        for c in stats_cols:
+            if c not in known:
+                continue
+            i = idx.get(c)
+            if i is None:
+                known.discard(c)
+                continue
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                if st is None or not st.has_min_max:
+                    known.discard(c)
+                    break
+                if c not in mins or st.min < mins[c]:
+                    mins[c] = st.min
+                if c not in maxs or st.max > maxs[c]:
+                    maxs[c] = st.max
+    return {
+        c: (
+            [_json_safe(mins[c]), _json_safe(maxs[c])]
+            if c in known and c in mins
+            else [None, None]
+        )
+        for c in stats_cols
+    }
 
 
 class SnapshotTable:
@@ -92,8 +134,12 @@ class SnapshotTable:
         manifest (Iceberg-style data-file stats). ``read(where=...)`` uses
         them to skip whole commit directories — at 10^12 docs this is the
         difference between scanning one day's append and the whole table.
-        The stats read comes from the just-written parquet footers via the
-        same Spark job (one cheap metadata-only aggregate)."""
+        The stats come from the just-written parquet FOOTERS (pyarrow
+        row-group statistics — metadata-only, no column-data scan); a column
+        whose footer stats are absent is recorded as unknown and ``read``
+        keeps its commits conservatively. Parquet may store truncated bounds
+        for long binary values — still valid (loose) bounds, so pruning
+        stays conservative."""
         from py_image_toolkit_spark.operators.encode import encoded_writer
 
         token = uuid.uuid4().hex[:12]
@@ -102,17 +148,7 @@ class SnapshotTable:
 
         stats: dict[str, list] = {}
         if stats_cols:
-            from pyspark.sql import functions as F
-
-            written = df.sparkSession.read.parquet(commit_dir)
-            row = written.agg(
-                *[F.min(c).alias(f"mn_{c}") for c in stats_cols],
-                *[F.max(c).alias(f"mx_{c}") for c in stats_cols],
-            ).collect()[0]
-            stats = {
-                c: [_json_safe(row[f"mn_{c}"]), _json_safe(row[f"mx_{c}"])]
-                for c in stats_cols
-            }
+            stats = _footer_stats(commit_dir, stats_cols)
 
         while True:
             prev = self.latest_snapshot()
@@ -173,6 +209,10 @@ class SnapshotTable:
         dirs = snap["data_dirs"]
         if where:
             cstats = snap.get("commit_stats", {})
+            # normalize bounds the same way stats were stored (timestamps →
+            # ISO strings), so datetime bounds compare against string stats
+            # correctly instead of raising/mispruning
+            norm = {c: (_json_safe(lo), _json_safe(hi)) for c, (lo, hi) in where.items()}
             dirs = [
                 d for d in dirs
                 if all(
@@ -180,7 +220,7 @@ class SnapshotTable:
                     or c not in cstats[d]
                     or cstats[d][c][0] is None
                     or not (hi < cstats[d][c][0] or lo > cstats[d][c][1])
-                    for c, (lo, hi) in where.items()
+                    for c, (lo, hi) in norm.items()
                 )
             ]
         if not dirs:

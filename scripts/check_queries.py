@@ -25,7 +25,10 @@ def main(only: list[str]) -> int:
             n = fn(spark, SF_DIR).count()
             print(f"{name}: rows-only ({n} rows) [{time.time()-t0:.1f}s]", flush=True)
             continue
-        problems = compare_query(spark, con, fn, contract.ORACLE_SQL[name], SF_DIR)
+        try:
+            problems = compare_query(spark, con, fn, contract.ORACLE_SQL[name], SF_DIR)
+        finally:
+            contract.release_persists()
         status = "OK" if not problems else "FAIL"
         print(f"{name}: {status} [{time.time()-t0:.1f}s]", flush=True)
         for p in problems:

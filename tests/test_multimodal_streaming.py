@@ -140,6 +140,118 @@ def test_streaming_exact_dedup_across_batches(spark, tmp_path):
     assert len(out) == 3
 
 
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the dedup kernel."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set_ms = ms
+
+
+def test_dedup_group_winner_spans_chunks():
+    """A key's first-batch rows can arrive as MULTIPLE Arrow chunks; the
+    emitted winner must be the minimum doc_id across all of them, not the
+    first non-empty chunk's minimum (round-2 advice)."""
+    import pandas as pd
+
+    from py_image_toolkit_spark.streaming.stateful import _make_dedup_group
+
+    fn = _make_dedup_group(None)
+    chunks = iter(
+        [
+            pd.DataFrame({"doc_id": [7, 9], "text": ["t", "t"]}),
+            pd.DataFrame({"doc_id": [2, 8], "text": ["t", "t"]}),  # true min
+            pd.DataFrame({"doc_id": [5], "text": ["t"]}),
+        ]
+    )
+    state = _FakeState()
+    out = list(fn(("h",), chunks, state))
+    assert len(out) == 1
+    assert int(out[0]["doc_id"][0]) == 2
+    assert int(out[0]["n_dropped"][0]) == 4
+    assert state.get == (5,)
+
+
+def test_dedup_group_ttl_evicts_and_rearms():
+    """TTL mode: timed-out keys drop their state (bounded store on a long
+    drain); the next occurrence re-emits per the retention contract, and
+    every live update re-arms the timeout."""
+    import pandas as pd
+
+    from py_image_toolkit_spark.streaming.stateful import _make_dedup_group
+
+    fn = _make_dedup_group(60_000)
+    # live update arms the timeout
+    state = _FakeState()
+    out = list(fn(("h",), iter([pd.DataFrame({"doc_id": [1], "text": ["t"]})]), state))
+    assert len(out) == 1 and state.timeout_set_ms == 60_000
+    # timeout callback: state removed, nothing emitted
+    state = _FakeState(value=(3,), timed_out=True)
+    out = list(fn(("h",), iter([]), state))
+    assert out == [] and state.removed
+    # post-eviction duplicate re-emits as first-seen
+    state = _FakeState()
+    out = list(fn(("h",), iter([pd.DataFrame({"doc_id": [9], "text": ["t"]})]), state))
+    assert len(out) == 1 and int(out[0]["doc_id"][0]) == 9
+
+
+def test_streaming_dedup_ttl_wiring(spark, tmp_path):
+    """state_ttl_minutes wires ProcessingTimeTimeout through a real stream.
+    With processing-time timeouts the engine keeps scheduling micro-batches
+    to service future timeout callbacks, so the query never self-terminates
+    (even under availableNow) — poll for the output then stop() explicitly,
+    exactly as the operator's docstring prescribes for TTL mode."""
+    import os
+    import time
+
+    from py_image_toolkit_spark.streaming.stateful import streaming_exact_dedup
+
+    src = str(tmp_path / "src_ttl")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b1"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src + "/*")
+    )
+    out = []
+    q = (
+        streaming_exact_dedup(stream, state_ttl_minutes=60)
+        .writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_ttl"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 90
+        while len(out) < 2 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert {r["text"] for r in out} == {"a", "b"}
+    assert len(out) == 2
+
+
 def test_resize_plan_mode_dispatch(media):
     """Reference resize.py:106-120 mode dispatch on the metadata planner."""
     fixed = {r["media_id"]: (r["out_w"], r["out_h"])

@@ -19,9 +19,12 @@ def duck(sf_dir):
 
 @pytest.mark.parametrize("name", _WITH_ORACLE)
 def test_query_matches_oracle(spark, duck, sf_dir, name):
-    problems = compare_query(
-        spark, duck, contract.QUERIES[name], contract.ORACLE_SQL[name], sf_dir
-    )
+    try:
+        problems = compare_query(
+            spark, duck, contract.QUERIES[name], contract.ORACLE_SQL[name], sf_dir
+        )
+    finally:
+        contract.release_persists()
     assert not problems, f"{name}:\n" + "\n".join(problems)
 
 

@@ -118,3 +118,63 @@ def test_manifest_stats_prune_commits(spark, tmp_path):
     none_df = SnapshotTable(str(tmp_path / "p2"))
     none_df.append(spark.range(5).withColumnRenamed("id", "v"), stats_cols=("v",))
     assert none_df.read(spark, where={"v": (100, 200)}) is None
+
+
+def test_manifest_stats_timestamp_bounds(spark, tmp_path):
+    """Timestamp stats are stored as ISO strings in the manifest; read()
+    normalizes datetime where-bounds the same way, so pruning on a
+    timestamp column works with native datetime bounds (round-2 advice).
+    Stats come from parquet footers (metadata-only) — TIMESTAMP_MICROS
+    output keeps footer min/max available (INT96 would not)."""
+    from datetime import datetime
+
+    from py_image_toolkit_spark.sources.tables import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "ts_pruned"))
+    for day in (1, 10, 20):
+        df = spark.sql(
+            f"SELECT TIMESTAMP'2024-03-{day:02d} 12:00:00' AS ts, {day} AS v"
+        )
+        tbl.append(df, run_id=f"d{day}", stats_cols=("ts",))
+
+    snap = tbl.latest_snapshot()
+    recorded = [s["ts"] for s in snap["commit_stats"].values()]
+    assert all(isinstance(b, str) for lo_hi in recorded for b in lo_hi)
+
+    got = tbl.read(
+        spark,
+        where={"ts": (datetime(2024, 3, 5), datetime(2024, 3, 15))},
+    )
+    rows = got.collect()
+    assert [r["v"] for r in rows] == [10]  # only the mid-month commit survives
+
+
+def test_concurrent_appends_no_lost_update(spark, tmp_path):
+    """Round-2 made commits race-safe (tmp-write + O_EXCL hard-link publish
+    + id-collision retry); prove it: N writers appending concurrently to the
+    same table must ALL become visible — no lost update, snapshot ids form a
+    contiguous lineage (round-2 verdict task #9). Threads suffice: the race
+    window is the manifest read→link sequence, which is pure file I/O that
+    releases the GIL."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from py_image_toolkit_spark.sources.tables import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "concurrent"))
+    n_writers = 6
+
+    def write_one(k: int) -> int:
+        df = spark.range(k * 100, k * 100 + 10).withColumnRenamed("id", "v")
+        return tbl.append(df, run_id=f"w{k}")
+
+    with ThreadPoolExecutor(max_workers=n_writers) as ex:
+        ids = list(ex.map(write_one, range(n_writers)))
+
+    # every writer got a DISTINCT snapshot id, contiguous from 1
+    assert sorted(ids) == list(range(1, n_writers + 1))
+    # the final lineage lists every commit → all rows visible, none lost
+    snap = tbl.latest_snapshot()
+    assert snap["snapshot_id"] == n_writers
+    assert len(snap["data_dirs"]) == n_writers
+    rows = {r["v"] for r in tbl.read(spark).collect()}
+    assert rows == {k * 100 + j for k in range(n_writers) for j in range(10)}
