@@ -1378,6 +1378,100 @@ def q30(spark, sf_dir):
     )
 
 
+_COS_SQL = (
+    "CAST(FLOOR(list_dot_product({a}, {b}) / (SQRT(list_dot_product({a}, {a}))"
+    " * SQRT(list_dot_product({b}, {b}))) * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    "q32_ann_ivf_flat",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS nv
+      FROM embeddings WHERE vec_id >= 5 AND vec_id % 40 = 0
+    ),
+    corpus AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id >= 5),
+    probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+               FROM embeddings WHERE vec_id < 5),
+    corpus_cells AS (
+      SELECT corpus_id, cv, centroid_id FROM (
+        SELECT corpus_id, cv, centroid_id,
+          ROW_NUMBER() OVER (PARTITION BY corpus_id ORDER BY
+            {_COS_SQL.format(a="cv", b="nv")} DESC, centroid_id) AS r
+        FROM corpus, cents
+      ) WHERE r = 1
+    ),
+    probe_cells AS (
+      SELECT probe_id, pv, centroid_id FROM (
+        SELECT probe_id, pv, centroid_id,
+          ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+            {_COS_SQL.format(a="pv", b="nv")} DESC, centroid_id) AS r
+        FROM probes, cents
+      ) WHERE r <= 2
+    ),
+    scored AS (
+      SELECT probe_id, corpus_id, {_COS_SQL.format(a="pv", b="cv")} AS cos_micro
+      FROM probe_cells JOIN corpus_cells USING (centroid_id)
+    )
+    SELECT probe_id, rank, corpus_id, cos_micro FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_micro DESC, corpus_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY probe_id, rank
+    """,
+)
+def q32(spark, sf_dir):
+    """IVF-flat ANN (inverted-file index, relational form): corpus assigned
+    to deterministic coarse centroids via broadcast + map-side argmax;
+    probes search their 2 nearest cells through a centroid_id equijoin —
+    never the O(P×N) cross join (operators/similarity.py ivf_flat_topk)."""
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.ivf_flat_topk(
+        corpus,
+        emb.filter(F.col("vec_id") < 5),
+        corpus.filter(F.col("vec_id") % 40 == 0),
+        k=10,
+        nprobe=2,
+    ).orderBy("probe_id", "rank")
+
+
+@register(
+    "q31_salted_distinct_users",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q31(spark, sf_dir):
+    """J5 skew handling through the driver gate: exact per-key distinct via
+    the salted two-stage aggregation (plans/job.py). event_type has ~5
+    values over the whole table — the canonical hot-key shape. The salt is
+    a hash of the (key, value) row, so a key's values are DISJOINT across
+    salt buckets: stage 1 builds partial sets on n_salts reducers in
+    parallel, stage 2 sums their sizes — no single reducer ever accumulates
+    a hot key's full value set (scale posture vs the naive
+    groupBy.collect_set; perf evidence in BENCH/BASELINE.md)."""
+    from py_image_toolkit_spark.plans.job import salted_two_stage_agg
+
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id")
+    out = salted_two_stage_agg(
+        ev,
+        "event_type",
+        {
+            "n_users": (
+                lambda c: F.size(F.collect_set("user_id")).alias("n_users"),
+                lambda c: F.sum("n_users").cast("long").alias("n_users"),
+            )
+        },
+        n_salts=8,
+    )
+    return out.orderBy("event_type")
+
+
 # --------------------------------------------------------------------------
 # E. flagship: the full extraction pipeline over pages built from the
 #    driver's documents table (rows-only driver check; byte-parity vs the

@@ -63,6 +63,92 @@ def sign_lsh_bucket(vec_col, dims: tuple[int, ...] = (0, 8, 16, 24)) -> F.Column
     return code.cast("int")
 
 
+def ivf_flat_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: assign every corpus vector to its nearest coarse
+    centroid (its "cell"), search only the probe's ``nprobe`` nearest cells.
+
+    The classic inverted-file index recast relationally:
+    - **assignment** is a broadcast join (centroids are small by
+      construction) followed by a per-vector argmax — expressed as
+      ``max_by`` under ``groupBy(id)`` so Spark's map-side partial
+      aggregation reduces each vector to ONE shuffled row; the corpus ×
+      K dot products never leave the map side.
+    - **search** joins the probe's cells to the corpus cells on
+      centroid_id — a keyed equijoin, never the O(P×N) cross join; each
+      corpus vector lives in exactly one cell, so multi-probe needs no
+      dedup.
+    - recall/cost knob: ``nprobe`` (cells probed per query), as in any IVF
+      index; centroid count scales with corpus size (√N rule of thumb).
+
+    ``centroids`` here are taken deterministically from the corpus (no
+    k-means iteration) so the result is exactly reproducible and
+    SQL-expressible for the oracle; swap in trained centroids at will —
+    the plan shape is identical."""
+    cents = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("corpus_vec")
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+
+    def _cell_cos(vec):
+        return (
+            F.floor(dot_cosine(vec, F.col("centroid_vec")) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("cell_cos")
+        )
+
+    # ties broken toward the LOWEST centroid_id (max of (cos, -id))
+    ord_ = F.struct(F.col("cell_cos"), (-F.col("centroid_id")).alias("nid"))
+    corpus_cells = (
+        c.join(F.broadcast(cents))
+        .select("corpus_id", "corpus_vec", "centroid_id", _cell_cos(F.col("corpus_vec")))
+        .groupBy("corpus_id")
+        .agg(
+            F.max_by("centroid_id", ord_).alias("centroid_id"),
+            F.any_value("corpus_vec").alias("corpus_vec"),  # constant per group
+        )
+    )
+    w_cells = Window.partitionBy("probe_id").orderBy(
+        F.desc("cell_cos"), "centroid_id"
+    )
+    probe_cells = (
+        p.join(F.broadcast(cents))
+        .select("probe_id", "probe_vec", "centroid_id", _cell_cos(F.col("probe_vec")))
+        .withColumn("cell_rank", F.row_number().over(w_cells))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("probe_id", "probe_vec", "centroid_id")
+    )
+
+    cos = dot_cosine(F.col("probe_vec"), F.col("corpus_vec"))
+    scored = (
+        F.broadcast(probe_cells)
+        .join(corpus_cells, "centroid_id")
+        .select(
+            "probe_id",
+            "corpus_id",
+            F.floor(cos * 1_000_000 + F.lit(0.5)).cast("long").alias("cos_micro"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_micro"), "corpus_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "rank", "corpus_id", "cos_micro")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     probes: DataFrame,

@@ -159,3 +159,60 @@ def test_dedup_chain_robust_to_arbitrary_text(spark):
     # exact dedup agrees on the duplicate group
     groups = D.exact_dedup(df).collect()
     assert {(g.canonical_id, g.n_dups) for g in groups} == {(7, 2)}
+
+
+def test_ivf_flat_full_probe_equals_bruteforce(spark):
+    """IVF-flat exactness property: probing ALL cells makes the candidate
+    set the whole corpus, so the result must equal the brute-force top-k
+    exactly (rank, id, and score)."""
+    import numpy as np
+
+    from py_image_toolkit_spark.operators.similarity import (
+        cosine_topk,
+        ivf_flat_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, [float(x) for x in rng.randn(16)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.filter("vec_id < 3")
+    corpus = emb.filter("vec_id >= 3")
+    cents = corpus.filter("vec_id % 10 = 0")  # 4 cells
+    exact = cosine_topk(corpus, probes, k=5).orderBy("probe_id", "rank").collect()
+    full = (
+        ivf_flat_topk(corpus, probes, cents, k=5, nprobe=4)
+        .orderBy("probe_id", "rank")
+        .collect()
+    )
+    assert full == exact
+
+
+def test_ivf_flat_nprobe_one_recall_and_validity(spark):
+    """With nprobe=1 results come only from the probe's nearest cell: every
+    returned neighbor must share the probe's cell assignment, scores must
+    be correctly ranked, and a planted identical vector must be found (it
+    always lands in the probe's own cell)."""
+    import numpy as np
+
+    from py_image_toolkit_spark.operators.similarity import ivf_flat_topk
+
+    rng = np.random.RandomState(13)
+    vecs = rng.randn(40, 16).astype("float64")
+    vecs[9] = vecs[41 % 40]  # placeholder, overwritten below
+    probe_vec = rng.randn(16)
+    vecs[25] = probe_vec  # planted exact duplicate of the probe in corpus
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = spark.createDataFrame(
+        [(1000, [float(x) for x in probe_vec])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = emb
+    out = ivf_flat_topk(
+        corpus, probes, corpus.filter("vec_id % 8 = 0"), k=3, nprobe=1
+    ).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["corpus_id"] == 25 and out[0]["cos_micro"] == 1_000_000
+    assert out[0]["cos_micro"] >= out[1]["cos_micro"] >= out[2]["cos_micro"]
