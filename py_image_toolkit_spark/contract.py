@@ -1378,6 +1378,58 @@ def q30(spark, sf_dir):
     )
 
 
+@register(
+    "q33_repetition_filter",
+    """
+    WITH docs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0
+                  THEN text || ' spam spam spam spam spam spam spam spam'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+      FROM docs
+    ),
+    base AS (
+      SELECT doc_id, len(arr) AS n_tok, len(list_distinct(arr)) AS n_dist FROM toks
+    ),
+    bigrams AS (
+      SELECT doc_id, array_to_string(arr[i:i+1], ' ') AS bg
+      FROM toks, UNNEST(generate_series(1, len(arr) - 1)) AS t(i)
+      WHERE len(arr) >= 2
+    ),
+    bgc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg),
+    bga AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS tot FROM bgc GROUP BY doc_id)
+    SELECT b.doc_id,
+      CAST(FLOOR((b.n_tok - b.n_dist) * 1000000.0 / GREATEST(b.n_tok, 1) + 0.5) AS BIGINT) AS dup_word_frac_micro,
+      CAST(FLOOR(a.mx * 1000000.0 / a.tot + 0.5) AS BIGINT) AS top_bigram_share_micro,
+      (CAST(FLOOR((b.n_tok - b.n_dist) * 1000000.0 / GREATEST(b.n_tok, 1) + 0.5) AS BIGINT) >= 700000
+       OR COALESCE(CAST(FLOOR(a.mx * 1000000.0 / a.tot + 0.5) AS BIGINT) >= 180000, FALSE)) AS repetitive
+    FROM base b LEFT JOIN bga a USING (doc_id)
+    ORDER BY b.doc_id
+    """,
+)
+def q33(spark, sf_dir):
+    """Gopher-style repetition filters: dup-word fraction (per-doc Columns)
+    + top-bigram share (relational explode→groupBy — the scale path; never
+    an O(n²) per-doc lambda count). A deterministic spam tail is appended
+    to every 13th doc so the `repetitive` flag fires on real rows."""
+    from py_image_toolkit_spark.operators.text_stats import repetition_stats
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.col("text"), F.lit(" spam" * 8)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repetition_stats(d).orderBy("doc_id")
+
+
 _COS_SQL = (
     "CAST(FLOOR(list_dot_product({a}, {b}) / (SQRT(list_dot_product({a}, {a}))"
     " * SQRT(list_dot_product({b}, {b}))) * 1000000 + 0.5) AS BIGINT)"

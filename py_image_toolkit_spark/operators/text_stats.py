@@ -107,6 +107,74 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_bigram_max_micro: int = 180_000,
+    dup_word_max_micro: int = 700_000,
+) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-style "repetitive
+    document" filters used in web-corpus curation):
+
+    - dup_word_frac_micro:     1 − distinct/total whitespace tokens —
+                               pure Columns, no shuffle (per-doc arrays)
+    - top_bigram_share_micro:  occurrences of the most frequent bigram ÷
+                               total bigrams — computed RELATIONALLY
+                               (explode → two-level groupBy with map-side
+                               partial aggregation), never an O(n²)
+                               per-document higher-order-lambda count,
+                               so one shuffle keyed by (doc, bigram)
+    - repetitive:              either share past its threshold
+
+    Docs with <2 tokens have no bigrams: share is NULL and only the
+    dup-word test applies."""
+    txt = F.col(text_col)
+    arr = tokens_array(txt)
+    base = df.select(
+        F.col(id_col),
+        F.size(arr).cast("long").alias("_n_tok"),
+        F.size(F.array_distinct(arr)).cast("long").alias("_n_dist"),
+    )
+    # guard: sequence(1, 0) is DESCENDING in Spark ([1, 0] — step inferred),
+    # so an unguarded 1-token doc would evaluate slice(arr, 0, 2) and throw
+    bigram_arr = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.array_join(F.slice(arr, i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg_counts = (
+        df.select(F.col(id_col), F.explode(bigram_arr).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_bg_max"), F.sum("c").alias("_bg_tot"))
+    )
+    out = base.join(bg_counts, id_col, "left")
+    dup_micro = F.floor(
+        (F.col("_n_tok") - F.col("_n_dist")) * 1_000_000.0
+        / F.greatest(F.col("_n_tok"), F.lit(1))
+        + F.lit(0.5)
+    ).cast("long")
+    share_micro = F.when(
+        F.col("_bg_tot").isNotNull(),
+        F.floor(F.col("_bg_max") * 1_000_000.0 / F.col("_bg_tot") + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        dup_micro.alias("dup_word_frac_micro"),
+        share_micro.alias("top_bigram_share_micro"),
+        (
+            (dup_micro >= dup_word_max_micro)
+            | F.coalesce(share_micro >= top_bigram_max_micro, F.lit(False))
+        ).alias("repetitive"),
+    )
+
+
 def fingerprint(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3, shingle_k: int = 3
 ) -> DataFrame:

@@ -216,3 +216,25 @@ def test_ivf_flat_nprobe_one_recall_and_validity(spark):
     assert [r["rank"] for r in out] == [1, 2, 3]
     assert out[0]["corpus_id"] == 25 and out[0]["cos_micro"] == 1_000_000
     assert out[0]["cos_micro"] >= out[1]["cos_micro"] >= out[2]["cos_micro"]
+
+
+def test_repetition_stats_signals_and_edges(spark):
+    """Gopher-style repetition filters: a spam-looped doc flags repetitive,
+    natural text does not; <2-token docs have NULL bigram share and only
+    the dup-word test applies."""
+    from py_image_toolkit_spark.operators.text_stats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now " * 20),            # one bigram dominates
+            (2, "the quick brown fox jumps over a lazy dog near the river"),
+            (3, "single"),                    # no bigrams -> NULL share
+            (4, "a a a a a a a a a a"),       # dup-word fraction 0.9
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[1]["repetitive"] and rows[1]["top_bigram_share_micro"] > 400_000
+    assert not rows[2]["repetitive"]
+    assert rows[3]["top_bigram_share_micro"] is None and not rows[3]["repetitive"]
+    assert rows[4]["dup_word_frac_micro"] == 900_000 and rows[4]["repetitive"]
