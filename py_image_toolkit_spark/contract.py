@@ -1503,10 +1503,12 @@ def q31(spark, sf_dir):
     the salted two-stage aggregation (plans/job.py). event_type has ~5
     values over the whole table — the canonical hot-key shape. The salt is
     a hash of the (key, value) row, so a key's values are DISJOINT across
-    salt buckets: stage 1 builds partial sets on n_salts reducers in
-    parallel, stage 2 sums their sizes — no single reducer ever accumulates
-    a hot key's full value set (scale posture vs the naive
-    groupBy.collect_set; perf evidence in BENCH/BASELINE.md)."""
+    salt buckets and stage 2 sums partial set sizes. Registered as a
+    CORRECTNESS demonstration of the pattern; the round-3 measurements
+    (BENCH/BASELINE.md "salted holistic agg") found Spark's own partial
+    aggregation makes explicit salting marginal-to-harmful for these
+    aggs, so the engine's hot path does NOT use it — honesty over a fake
+    perf claim."""
     from py_image_toolkit_spark.plans.job import salted_two_stage_agg
 
     ev = t(spark, sf_dir, "events").select("event_type", "user_id")

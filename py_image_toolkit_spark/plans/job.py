@@ -41,14 +41,22 @@ def salted_two_stage_agg(
     ``aggs`` maps output name → (partial_expr_fn, combine_fn); both are
     (colname → Column) builders.
 
-    When this actually wins: for ALGEBRAIC aggregates (sum/count/min/max)
-    Spark's map-side partial aggregation already collapses a hot key to one
-    row per map task — a plain groupBy is skew-proof and one shuffle cheaper
-    than this helper. Reach for salting on HOLISTIC aggregates
-    (collect_set/collect_list/exact-distinct) whose per-key state grows with
-    the group: there the hot key's state is built single-threaded on one
-    reducer, and stage-1 salting parallelizes it ``n_salts``-ways
-    (benchmarked in BENCH/BASELINE.md "salted holistic agg").
+    MEASURED GUIDANCE (BENCH/BASELINE.md "salted holistic agg", round 3) —
+    on Spark, reach for this helper LAST:
+    - ALGEBRAIC aggregates (sum/count/min/max): map-side partial
+      aggregation already collapses a hot key to one row per map task; a
+      plain groupBy is skew-proof and one shuffle cheaper.
+    - HOLISTIC aggregates (collect_set/exact-distinct): Spark's partial
+      aggregation ALSO builds the per-key state in parallel on the map
+      side; measured on a 30%-hot-key view log the salted rewrite gains
+      only 1.06-1.17×, and at 95% hot share it LOSES 9× (the multiplied
+      (key × salt) grouping cardinality trips ObjectHashAggregate's
+      sort-based fallback on every map task). The engine's own hot path
+      therefore relies on url-hash partitioning + AQE skew handling, not
+      explicit salting.
+    - The helper remains for the genuinely-irreducible cases: aggregation
+      functions with no partial-merge implementation, or engines/UDAFs
+      where map-side combine is unavailable.
 
     The salt is ``xxhash64`` of the full row — deterministic, so duplicate
     rows land in the same salt bucket. Corollary for exact distinct: project
