@@ -135,8 +135,18 @@ def label_pass1(
     `_lbl_guard`) plus the two per-token guard inputs; the window pass then
     only evaluates a lag() and a boolean pick — byte-identical to the direct
     form (asserted by the q15-q17 SQL oracles and the engine parity suite).
-    For adversarial near-all-unique vocabularies pass ``dict_encode=False``
-    (the dictionary must fit the broadcast threshold)."""
+    Broadcast-size bound (round-3 ADVICE): the dictionary keeps ONLY tokens
+    whose classification is non-trivial (any label ≠ 'O', or a road/guard
+    flag) — every other token misses the left join and lands on the existing
+    ``coalesce(..., 'O')`` fallback, which is exactly its true label (the
+    guard can only *remove* label branches, so base='O' ⟹ guard='O').
+    On ID/hash-heavy corpora (near-all-unique vocabulary) random tokens
+    match none of the ~40 patterns, so the broadcast stays bounded by the
+    *pattern-matching* vocabulary, not the distinct-token count — the
+    driver-OOM path the unconditional broadcast used to have. For a corpus
+    adversarially full of distinct pattern-matching tokens pass
+    ``dict_encode=False`` (direct per-occurrence classification, no
+    dictionary at all)."""
     w = Window.partitionBy(*keys).orderBy("seq")
     if not dict_encode:
         return tokens.withColumn(
@@ -153,9 +163,16 @@ def label_pass1(
             _contains_any(t, V.ROAD_KEYWORDS).alias("_is_road"),
             (t.rlike(DIGITS_RE) & (F.length(t) <= 2)).alias("_guardable"),
         )
+        .filter(
+            (F.col("_lbl_base") != "O")
+            | (F.col("_lbl_guard") != "O")
+            | F.col("_is_road")
+            | F.col("_guardable")
+        )
     )
     # broadcast keeps the input's (keys)-partitioning intact, so the lag()
-    # window below still reuses the upstream exchange
+    # window below still reuses the upstream exchange; size-bounded by the
+    # filter above
     joined = tokens.join(F.broadcast(dic), "token", "left")
     prev_road = F.coalesce(F.lag("_is_road").over(w), F.lit(False))
     label = F.coalesce(

@@ -170,8 +170,15 @@ def extract(
         # text-bearing output is never joined back to the window table, so
         # the only wide shuffle in the whole stage is the url repartition
         # (operators/extract_kernel.py — see rationale there)
+        # the url-clustered precondition holds only when THIS call introduced
+        # a url repartition (num_partitions != 0) or staged+re-read by url —
+        # with num_partitions=0 and no staging the input partitioning is kept
+        # and duplicate-url inputs would make the streaming kernel truncate
+        # text (round-3 ADVICE: assert-or-repartition, never assume); passing
+        # False lets fused_extract_df repartition for itself
+        url_clustered = num_partitions != 0 or staging_dir is not None
         ok = (
-            fused_extract_df(laid, windows, cfg, assume_url_clustered=True)
+            fused_extract_df(laid, windows, cfg, assume_url_clustered=url_clustered)
             .withColumn("success", F.lit(True))
             .withColumn("message", F.coalesce(F.col("dec_message"), F.lit("")))
         )

@@ -24,6 +24,7 @@ import os
 import re
 import time
 import uuid
+from datetime import timezone
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -33,7 +34,17 @@ _MANIFEST_RE = re.compile(r"manifest-(\d+)\.json$")
 def _json_safe(v):
     """Manifest stats must round-trip through JSON (timestamps → ISO with a
     space separator — lexicographic order == chronological order, so pruning
-    comparisons on the stored strings stay correct)."""
+    comparisons on the stored strings stay correct).
+
+    tz-aware datetimes are normalized to naive UTC first: pyarrow footer
+    stats for TIMESTAMP columns come back tz-aware ('… 00:00:00+00:00')
+    while a naive where-bound renders without the offset — lexicographic
+    compare would then treat EQUAL instants as hi < stat_min and prune a
+    commit whose min equals the upper bound (round-3 ADVICE, confirmed
+    empirically). Applied to both footer stats and where-bounds, so both
+    sides of every pruning comparison share one canonical rendering."""
+    if getattr(v, "tzinfo", None) is not None:
+        v = v.astimezone(timezone.utc).replace(tzinfo=None)
     if hasattr(v, "isoformat"):
         return v.isoformat(sep=" ")
     return v

@@ -200,7 +200,6 @@ def test_ivf_flat_nprobe_one_recall_and_validity(spark):
 
     rng = np.random.RandomState(13)
     vecs = rng.randn(40, 16).astype("float64")
-    vecs[9] = vecs[41 % 40]  # placeholder, overwritten below
     probe_vec = rng.randn(16)
     vecs[25] = probe_vec  # planted exact duplicate of the probe in corpus
     rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]

@@ -149,6 +149,43 @@ def test_manifest_stats_timestamp_bounds(spark, tmp_path):
     assert [r["v"] for r in rows] == [10]  # only the mid-month commit survives
 
 
+def test_manifest_stats_timestamp_boundary_equality(spark, tmp_path):
+    """Round-3 ADVICE (medium): pyarrow footer stats for TIMESTAMP_MICROS
+    are tz-aware, so before normalization the stored string carried a
+    '+00:00' suffix while a naive where-bound did not — lexicographically
+    hi < stat_min for EQUAL instants, silently pruning a commit whose min
+    equals the upper bound. Pruning must be conservative: a bound exactly
+    equal to a commit's min (or max) keeps the commit."""
+    from datetime import datetime, timezone
+
+    from py_image_toolkit_spark.sources.tables import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "ts_boundary"))
+    df = spark.sql("SELECT TIMESTAMP'2024-03-15 00:00:00' AS ts, 1 AS v")
+    tbl.append(df, run_id="d15", stats_cols=("ts",))
+
+    # stored stats must render WITHOUT a utc offset suffix
+    snap = tbl.latest_snapshot()
+    (lo_hi,) = [s["ts"] for s in snap["commit_stats"].values()]
+    assert lo_hi == ["2024-03-15 00:00:00", "2024-03-15 00:00:00"]
+
+    # upper bound == commit min: the commit must survive pruning
+    hit_hi = tbl.read(spark, where={"ts": (datetime(2024, 3, 1), datetime(2024, 3, 15))})
+    assert hit_hi is not None and hit_hi.count() == 1
+    # lower bound == commit max: likewise
+    hit_lo = tbl.read(spark, where={"ts": (datetime(2024, 3, 15), datetime(2024, 3, 20))})
+    assert hit_lo is not None and hit_lo.count() == 1
+    # tz-aware where-bounds normalize to the same naive-UTC rendering
+    aware = (
+        datetime(2024, 3, 1, tzinfo=timezone.utc),
+        datetime(2024, 3, 15, tzinfo=timezone.utc),
+    )
+    hit_aware = tbl.read(spark, where={"ts": aware})
+    assert hit_aware is not None and hit_aware.count() == 1
+    # and a genuinely disjoint bound still prunes
+    assert tbl.read(spark, where={"ts": (datetime(2024, 3, 16), datetime(2024, 3, 20))}) is None
+
+
 def test_concurrent_appends_no_lost_update(spark, tmp_path):
     """Round-2 made commits race-safe (tmp-write + O_EXCL hard-link publish
     + id-collision retry); prove it: N writers appending concurrently to the
