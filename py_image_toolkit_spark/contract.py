@@ -1083,9 +1083,12 @@ def q20(spark, sf_dir):
     return D.lsh_band_pairs(sigs, num_hashes=8, rows_per_band=2).orderBy("id_a", "id_b")
 
 
-def _simhash_cte(bits: int = 16) -> str:
+def _simhash_cte(bits: int = 16, with_docs: bool = True, toks_name: str = "toks") -> str:
     """WITH-clause body ending in a ``sims(doc_id, simhash)`` CTE — shared by
-    q21 (per-doc hashes) and q28 (hamming-close pairs)."""
+    q21 (per-doc hashes), q28 (hamming-close pairs) and q34/q36 (cluster
+    canonicalization, which composes it with the shingle CTEs — pass
+    ``with_docs=False`` and a fresh ``toks_name`` to avoid CTE-name
+    collisions with _DOCS_SQL/_SHINGLES_SQL)."""
     nib_case = lambda n: (  # noqa: E731
         "CASE "
         + " ".join(
@@ -1099,15 +1102,16 @@ def _simhash_cte(bits: int = 16) -> str:
         for b in range(bits)
     )
     sim = " + ".join(f"CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(bits))
-    return f"""{_DOCS_SQL},
-    toks AS (
+    head = f"{_DOCS_SQL}," if with_docs else ""
+    return f"""{head}
+    {toks_name} AS (
       SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
       FROM docs
     ),
     nibs AS (
       SELECT doc_id, {nib_case(0)} AS nib0, {nib_case(1)} AS nib1,
              {nib_case(2)} AS nib2, {nib_case(3)} AS nib3
-      FROM toks
+      FROM {toks_name}
     ),
     votes AS (SELECT doc_id, {votes} FROM nibs GROUP BY doc_id),
     sims AS (SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM votes)"""
@@ -1295,6 +1299,102 @@ def q28(spark, sf_dir):
         D.simhash_close_pairs(sims, max_hamming=2)
         .withColumn("hamming", F.col("hamming").cast("long"))
         .orderBy("id_a", "id_b")
+    )
+
+
+def _pair_graph(spark, sf_dir) -> DataFrame:
+    """The q20 ∪ q28 pair graph — MinHash-LSH candidates plus SimHash
+    hamming-close pairs over the synthesized-duplicate corpus (multi-edge
+    components: exact dups pair under both methods)."""
+    docs = _docs_df(spark, sf_dir)
+    shingles = D.shingle_df(docs, k=3)
+    sigs = _persist(D.minhash_signatures(shingles, num_hashes=8))
+    mh = D.lsh_band_pairs(sigs, num_hashes=8, rows_per_band=2)
+    sh = D.simhash_close_pairs(D.simhash_df(docs), max_hamming=2)
+    return mh.select("id_a", "id_b").unionByName(sh.select("id_a", "id_b"))
+
+
+def _cc_sql_prefix(num_hashes: int = 8, rows_per_band: int = 2) -> str:
+    """WITH-RECURSIVE body ending in ``comp(doc_id, component_id)`` —
+    connected components of the q20 ∪ q28 pair graph via min-label
+    reachability (DuckDB's recursive-CTE UNION dedups the frontier, so the
+    recursion terminates at the transitive closure; MIN over reachable
+    labels = the component's min id — the same canonicalization the
+    engine's large-star/small-star fixpoint produces)."""
+    sig_cols = ", ".join(
+        f"MIN(md5(CONCAT('{j}|', shingle))) AS sig_{j}" for j in range(num_hashes)
+    )
+    n_bands = num_hashes // rows_per_band
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5(CONCAT(sig_{b * rows_per_band}, sig_{b * rows_per_band + 1})) AS bucket FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""{_DOCS_SQL}, {_SHINGLES_SQL},
+    sigs AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    banded AS ({band_selects}),
+    mh_pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    {_simhash_cte(with_docs=False, toks_name="stoks")},
+    sh_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    ),
+    pairs AS (SELECT id_a, id_b FROM mh_pairs UNION SELECT id_a, id_b FROM sh_pairs),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(id, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY id)"""
+
+
+@register(
+    "q34_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_cc_sql_prefix()}
+    SELECT doc_id, component_id FROM comp ORDER BY doc_id
+    """,
+)
+def q34(spark, sf_dir):
+    """Dedup cluster canonicalization (the pair family's last mile):
+    connected components over the q20 ∪ q28 pair graph via alternating
+    large-star/small-star — O(log n) keyed-shuffle rounds, no driver-side
+    union-find (operators/cluster.py). component_id = min(doc_id) per
+    component, matching the oracle's recursive-CTE min-label closure."""
+    from py_image_toolkit_spark.operators.cluster import cluster_pairs
+
+    return cluster_pairs(_pair_graph(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "q36_dedup_apply",
+    f"""
+    WITH RECURSIVE {_cc_sql_prefix()},
+    losers AS (SELECT doc_id FROM comp WHERE component_id <> doc_id)
+    SELECT d.doc_id, length(d.text) AS n_chars
+    FROM docs d ANTI JOIN losers l ON d.doc_id = l.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def q36(spark, sf_dir):
+    """apply_dedup: filter the corpus to one canonical document per
+    duplicate component (keyed anti-join; reference analog — the act-on-
+    decision step of skip-if-exists, resize.py:158-162). Survivors =
+    min-id member of every component + documents never seen in a pair."""
+    from py_image_toolkit_spark.operators.cluster import apply_dedup, cluster_pairs
+
+    corpus = _docs_df(spark, sf_dir)
+    clusters = cluster_pairs(_pair_graph(spark, sf_dir))
+    return (
+        apply_dedup(corpus, clusters)
+        .select("doc_id", F.length("text").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
     )
 
 

@@ -1,0 +1,126 @@
+"""Dedup cluster canonicalization — the last mile of every dedup pipeline.
+
+The pair-producing operators (exact groups, MinHash-LSH, SimHash,
+embedding near-dup) stop at *pairs*; a training-data pipeline must then
+(1) turn the pair graph into connected components, (2) elect one canonical
+document per component, and (3) filter the corpus down to canonicals plus
+untouched documents. Reference analog: the *decision* step of
+skip-if-exists (reference resize.py:158-162 — decide which outputs already
+exist, then act on the survivors); here the decision is graph-global
+instead of per-file.
+
+- cluster_pairs : connected components over an (id_a, id_b) pair table via
+                  the alternating large-star/small-star algorithm (Kiveris
+                  et al., "Connected Components in MapReduce and Beyond",
+                  SoCC'14) — O(log n) rounds even on path graphs, every
+                  round a keyed groupBy + equijoin, NEVER a driver-side
+                  union-find (the edge table may be billions of rows at
+                  100 TB; only per-round COUNTS reach the driver).
+- apply_dedup   : anti-join the corpus against the non-canonical members.
+
+Scale posture (100 TB): each round shuffles the current edge set on its
+node key — edge volume only ever shrinks (large-star caps it at the
+original size; small-star contracts toward stars), so the first round
+bounds the cost. Rounds are lineage-truncated via localCheckpoint; on a
+real cluster use a reliable checkpoint dir or stage each round to a
+snapshot table (sources/tables.py) so executor loss cannot replay the
+whole chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star: for every node u, connect each strictly-larger neighbor
+    to min(Γ(u) ∪ {u}). Input/output: directed edge set (u, v)."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", "u").alias("m"))
+    )
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star: orient edges larger→smaller, then for every node u connect
+    all of Γ(u) ∪ {u} (minus the min itself) to min(Γ(u) ∪ {u})."""
+    d = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    m = d.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        d.join(m, "u")
+        .select(F.col("v").alias("x"), F.col("m"))
+        .union(m.select(F.col("u").alias("x"), F.col("m")))
+    )
+    return (
+        out.where(F.col("x") != F.col("m"))
+        .select(F.col("x").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def cluster_pairs(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected pair graph.
+
+    Returns one row per node that appears in ``pairs``:
+    ``(doc_id, component_id)`` with ``component_id = min(doc_id)`` over the
+    node's component (the canonical member maps to itself).
+
+    Iterates large-star/small-star to the star-graph fixpoint (provably
+    min-rooted); convergence is detected by edge-set equality (distinct
+    sets: equal counts + empty exceptAll). Raises if ``max_iter`` rounds do
+    not converge — the alternation needs O(log² n) rounds worst-case, so 25
+    covers any graph this engine will ever see; a silent partial clustering
+    would under-deduplicate, which must never happen silently."""
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_cnt = e.count()
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint()
+        cnt = e2.count()
+        if cnt == prev_cnt and e2.exceptAll(e).isEmpty():
+            e = e2
+            break
+        e, prev_cnt = e2, cnt
+    else:
+        raise RuntimeError(f"cluster_pairs did not converge in {max_iter} rounds")
+    # fixpoint edges are (member, root); roots map to themselves
+    members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component_id"))
+    roots = e.select(F.col("v").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("component_id")
+    )
+    return members.unionByName(roots)
+
+
+def apply_dedup(
+    corpus: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Filter the corpus to one canonical document per duplicate component.
+
+    ``clusters`` is cluster_pairs output; every member whose id differs from
+    its component_id is dropped, the canonical (min-id) member and all
+    documents never seen in a pair survive. The anti-join is a keyed
+    equijoin on ``id_col`` — the corpus never rebroadcasts or re-sorts."""
+    losers = clusters.where(F.col("component_id") != F.col(id_col)).select(id_col)
+    return corpus.join(losers, id_col, "left_anti")
