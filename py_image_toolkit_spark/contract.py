@@ -1591,6 +1591,121 @@ def q32(spark, sf_dir):
     ).orderBy("probe_id", "rank")
 
 
+def _kmeans_cte(k: int = 8, iters: int = 2) -> str:
+    """WITH-body ending in ``tcents(centroid_id, nv)`` — seeded Lloyd's
+    k-means unrolled to ``iters`` fixed iterations (assignment = argmax
+    cosine over the previous centroids; update = per-coordinate mean,
+    FLOOR of an IEEE double division of exact int64 micro sums — see
+    operators/similarity.py train_kmeans_centroids for why every compared
+    quantity is bit-identical across engines)."""
+    # raw double cosine (no micro flooring) for the argmax — dot products of
+    # int-valued doubles are exact, so DESC order is engine-independent
+    rawcos = (
+        "(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+        " list_transform({b}, x -> CAST(x AS DOUBLE)))"
+        " / (SQRT(list_dot_product(list_transform({a}, x -> CAST(x AS DOUBLE)),"
+        " list_transform({a}, x -> CAST(x AS DOUBLE))))"
+        " * SQRT(list_dot_product(list_transform({b}, x -> CAST(x AS DOUBLE)),"
+        " list_transform({b}, x -> CAST(x AS DOUBLE))))))"
+    )
+    parts = [
+        f"""kmicro AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS mv
+      FROM embeddings WHERE vec_id >= 5
+    ),
+    c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS centroid_id,
+             mv AS cv
+      FROM (SELECT vec_id, mv FROM kmicro ORDER BY vec_id LIMIT {k}) s
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        cos_mc = rawcos.format(a="m.mv", b="c.cv")
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, mv, centroid_id FROM (
+        SELECT m.vec_id, m.mv, c.centroid_id,
+          ROW_NUMBER() OVER (PARTITION BY m.vec_id
+                             ORDER BY {cos_mc} DESC, c.centroid_id) AS r
+        FROM kmicro m, c{i - 1} c
+      ) WHERE r = 1
+    ),
+    u{i} AS (
+      SELECT centroid_id, pos,
+             CAST(FLOOR(CAST(SUM(val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS nv
+      FROM (
+        SELECT centroid_id, i AS pos, mv[i] AS val
+        FROM a{i}, UNNEST(generate_series(1, len(mv))) AS t(i)
+      ) GROUP BY centroid_id, pos
+    ),
+    c{i} AS (
+      SELECT o.centroid_id, COALESCE(n.cv, o.cv) AS cv
+      FROM c{i - 1} o LEFT JOIN (
+        SELECT centroid_id, list(nv ORDER BY pos) AS cv FROM u{i} GROUP BY centroid_id
+      ) n USING (centroid_id)
+    )"""
+        )
+    parts.append(
+        f"""tcents AS (
+      SELECT centroid_id, list_transform(cv, x -> CAST(x AS DOUBLE)) AS nv
+      FROM c{iters}
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+@register(
+    "q35_ann_ivf_trained",
+    f"""
+    WITH {_kmeans_cte(k=8, iters=2)},
+    corpus AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id >= 5),
+    probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+               FROM embeddings WHERE vec_id < 5),
+    corpus_cells AS (
+      SELECT corpus_id, cv, centroid_id FROM (
+        SELECT corpus_id, cv, centroid_id,
+          ROW_NUMBER() OVER (PARTITION BY corpus_id ORDER BY
+            {_COS_SQL.format(a="cv", b="nv")} DESC, centroid_id) AS r
+        FROM corpus, tcents
+      ) WHERE r = 1
+    ),
+    probe_cells AS (
+      SELECT probe_id, pv, centroid_id FROM (
+        SELECT probe_id, pv, centroid_id,
+          ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+            {_COS_SQL.format(a="pv", b="nv")} DESC, centroid_id) AS r
+        FROM probes, tcents
+      ) WHERE r <= 2
+    ),
+    scored AS (
+      SELECT probe_id, corpus_id, {_COS_SQL.format(a="pv", b="cv")} AS cos_micro
+      FROM probe_cells JOIN corpus_cells USING (centroid_id)
+    )
+    SELECT probe_id, rank, corpus_id, cos_micro FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_micro DESC, corpus_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY probe_id, rank
+    """,
+)
+def q35(spark, sf_dir):
+    """IVF-flat ANN over TRAINED coarse centroids (round-3 verdict #2):
+    seeded Lloyd's k-means (k=8, 2 broadcast-assign → groupBy-mean rounds,
+    int64-micro exact arithmetic) feeding the same cell-equijoin search as
+    q32 — the production IVF shape end to end. Recall@10 vs q22's exact
+    top-k is measured by scripts/recall_ivf.py → BENCH/BASELINE.md."""
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    cents = S.train_kmeans_centroids(corpus, k=8, iters=2)
+    return S.ivf_flat_topk(
+        corpus, emb.filter(F.col("vec_id") < 5), cents, k=10, nprobe=2
+    ).orderBy("probe_id", "rank")
+
+
 @register(
     "q31_salted_distinct_users",
     """

@@ -149,6 +149,94 @@ def ivf_flat_topk(
     )
 
 
+def train_kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Seeded Lloyd's k-means over cosine similarity — trained IVF coarse
+    centroids as pure DataFrame code (no MLlib, no driver-side loops over
+    data; only the centroid table itself is ever broadcast/collected).
+
+    Per iteration (the classic broadcast-assign → groupBy-update shape):
+    - **assign**: corpus × broadcast(centroids) → per-vector argmax cosine
+      via ``max_by`` under ``groupBy(id)`` — map-side partial aggregation
+      reduces each vector to ONE shuffled row, the corpus × k dot products
+      never leave the map side (same plan shape as ivf_flat_topk's cell
+      assignment).
+    - **update**: posexplode members → groupBy (centroid, coordinate) mean
+      → re-assemble ordered arrays. Two keyed shuffles, both on small keys.
+      Empty clusters keep their previous centroid.
+
+    Cross-engine determinism (the q35 oracle hash-gate): vectors are
+    quantized to int64 micro-units up front, so every dot product is a sum
+    of exactly-representable integers (64 dims × ~1e12 ≪ 2^53) — EXACT, no
+    float rounding, no summation-order sensitivity; centroid updates use
+    FLOOR(double-division of exact ints), identical IEEE ops in Spark and
+    DuckDB. Cosine is scale-invariant in the centroid, so the mean is not
+    re-normalized (spherical k-means' normalization step changes no
+    assignment). Init = the k lowest-id corpus vectors; ``iters`` is fixed,
+    so the whole computation is reproducible and SQL-expressible.
+
+    Returns (centroid_id int, ``vec_col`` array<double>) with coordinates
+    in micro-units (scale-irrelevant to every cosine consumer)."""
+    micro = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast("long"),
+    )
+    base = corpus.select(F.col(id_col).alias("_vid"), micro.alias("_mv"))
+    w_init = Window.orderBy("_vid")
+    cents = (
+        base.orderBy("_vid")
+        .limit(k)
+        .select(
+            (F.row_number().over(w_init) - 1).alias("centroid_id"),
+            F.col("_mv").alias("_cv"),
+        )
+    )
+    as_double = lambda c: F.transform(c, lambda m: m.cast("double"))  # noqa: E731
+    for _ in range(iters):
+        cos = dot_cosine(as_double(F.col("_mv")), as_double(F.col("_cv")))
+        ord_ = F.struct(F.col("_cos"), (-F.col("centroid_id")).alias("nid"))
+        assigned = (
+            base.join(F.broadcast(cents))
+            .select("_vid", "_mv", "centroid_id", cos.alias("_cos"))
+            .groupBy("_vid")
+            .agg(
+                F.max_by("centroid_id", ord_).alias("centroid_id"),
+                F.any_value("_mv").alias("_mv"),
+            )
+        )
+        upd = (
+            assigned.select("centroid_id", F.posexplode("_mv").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(
+                F.floor(F.sum("val").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("nv")
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "nv"))),
+                    lambda s: s["nv"],
+                ).alias("_nv")
+            )
+        )
+        cents = (
+            cents.join(upd, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("_nv"), F.col("_cv")).alias("_cv"),
+            )
+        )
+    return cents.select(
+        F.col("centroid_id").alias(id_col), as_double(F.col("_cv")).alias(vec_col)
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     probes: DataFrame,

@@ -237,3 +237,88 @@ def test_repetition_stats_signals_and_edges(spark):
     assert not rows[2]["repetitive"]
     assert rows[3]["top_bigram_share_micro"] is None and not rows[3]["repetitive"]
     assert rows[4]["dup_word_frac_micro"] == 900_000 and rows[4]["repetitive"]
+
+
+def test_kmeans_recovers_separated_clusters(spark):
+    """Three well-separated direction clusters in 8 dims: after 3 Lloyd
+    iterations each trained centroid must align (cos >= 0.95) with one true
+    cluster direction, and the three directions must all be covered."""
+    import numpy as np
+
+    from py_image_toolkit_spark.operators.similarity import train_kmeans_centroids
+
+    rng = np.random.RandomState(7)
+    axes = np.eye(8)[:3]  # three orthogonal true directions
+    rows = []
+    for i in range(60):
+        base = axes[i % 3]
+        v = base + 0.05 * rng.randn(8)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_kmeans_centroids(emb, k=3, iters=3).collect()
+    assert len(cents) == 3
+    covered = set()
+    for r in cents:
+        c = np.array(r["embedding"])
+        cosines = axes @ c / (np.linalg.norm(c) * 1.0)
+        j = int(np.argmax(cosines))
+        assert cosines[j] >= 0.95
+        covered.add(j)
+    assert covered == {0, 1, 2}
+
+
+def test_kmeans_deterministic_and_empty_cluster_retention(spark):
+    """k > distinct directions: surplus centroids keep a value (no empty-
+    cluster crash, k rows out), and two runs are bit-identical (the q35
+    oracle hash-gate relies on exact int-micro arithmetic)."""
+    from py_image_toolkit_spark.operators.similarity import train_kmeans_centroids
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(10)]  # all identical
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = train_kmeans_centroids(emb, k=4, iters=2).orderBy("vec_id").collect()
+    b = train_kmeans_centroids(emb, k=4, iters=2).orderBy("vec_id").collect()
+    assert len(a) == 4
+    assert all(len(r["embedding"]) == 4 for r in a)
+    assert a == b
+
+
+def test_trained_centroids_beat_untrained_recall(spark):
+    """On a clustered corpus, nprobe=1 IVF search with TRAINED centroids
+    must recall at least as much of the exact top-10 as the deterministic
+    untrained sample — and strictly more here, because modulo-sampled
+    centroids land inside arbitrary clusters while Lloyd's means separate
+    them."""
+    import numpy as np
+
+    from py_image_toolkit_spark.operators.similarity import (
+        cosine_topk,
+        ivf_flat_topk,
+        train_kmeans_centroids,
+    )
+
+    rng = np.random.RandomState(3)
+    axes = np.eye(16)[:4]
+    rows = []
+    for i in range(80):
+        v = axes[i % 4] + 0.15 * rng.randn(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = emb.filter(F.col("vec_id") < 4)
+    corpus = emb.filter(F.col("vec_id") >= 4)
+
+    exact = {
+        (r["probe_id"], r["corpus_id"])
+        for r in cosine_topk(corpus, probes, k=10).collect()
+    }
+
+    def recall(cents):
+        got = {
+            (r["probe_id"], r["corpus_id"])
+            for r in ivf_flat_topk(corpus, probes, cents, k=10, nprobe=1).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    trained = recall(train_kmeans_centroids(corpus, k=4, iters=3))
+    untrained = recall(corpus.filter(F.col("vec_id") % 20 == 0))
+    assert trained >= untrained
+    assert trained >= 0.9

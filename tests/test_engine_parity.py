@@ -102,6 +102,20 @@ def test_known_golden_values(spark):
     assert ok["extracted_text"].str.len().min() > 0
 
 
+def test_differential_doc_vs_fused(spark):
+    """Round-3 verdict task #4 — make the doc-vs-fused differential
+    EXPLICIT: the default doc kernel loops the in-repo oracle per document,
+    so its oracle-parity test is self-referential; the fused staged plan is
+    an independent code path (Column E2 geometry + Arrow crop/label
+    kernel). Comparing the two engines row-for-row on the same pages — no
+    oracle in the loop — closes the triangle visibly instead of via the
+    property sweep's sampling."""
+    a = engine_frame(spark, 120, ExtractConfig(extract_impl="doc"))
+    b = engine_frame(spark, 120, ExtractConfig(extract_impl="fused"))
+    problems = diff_frames(a, b)
+    assert not problems, "doc/fused divergence:\n" + "\n".join(problems)
+
+
 @pytest.mark.parametrize("mode", ["fixed", "none"])
 @pytest.mark.parametrize("impl", ["doc", "fused", "columns"])
 def test_parity_norm_modes(spark, mode, impl):
