@@ -1748,8 +1748,12 @@ def q31(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def pages_from_documents(spark, sf_dir) -> DataFrame:
-    """Wrap each documents.text row into a deterministic HTML page —
-    Column-only; gives the E1→E3 pipeline a driver-table input."""
+    """Wrap each documents.text row into a deterministic page — Column-only;
+    gives the E1→E3 pipeline a driver-table input. Every 10th-ish doc
+    (doc_id % 10 == 7) is served as an UNCOMPRESSED application/pdf payload
+    (BT…ET text object, %PDF- magic) so the driver's q27 gate executes the
+    A2 content-routing and the PDF parse branch, not just HTML (round-3
+    verdict task #6); the remaining docs are HTML."""
     d = t(spark, sf_dir, "documents")
     html = F.concat(
         F.lit('<html><head><meta charset="utf-8"><title>doc</title>'
@@ -1759,10 +1763,26 @@ def pages_from_documents(spark, sf_dir) -> DataFrame:
         F.col("text"),
         F.lit("</article><footer>copyright <a href='/t'>terms</a></footer></body></html>"),
     )
+    # PDF string escaping (\ ( ) ) — backslash first; Java replacement
+    # strings double their backslashes
+    esc = F.regexp_replace(F.col("text"), r"\\", r"\\\\")
+    esc = F.regexp_replace(esc, r"\(", r"\\(")
+    esc = F.regexp_replace(esc, r"\)", r"\\)")
+    stream = F.concat(F.lit("BT ("), esc, F.lit(") Tj ET"))
+    pdf = F.concat(
+        F.lit("%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n2 0 obj << /Length "),
+        F.length(F.encode(stream, "UTF-8")).cast("string"),
+        F.lit(" >>\nstream\n"),
+        stream,
+        F.lit("\nendstream\nendobj\n%%EOF\n"),
+    )
+    payload = F.when(
+        F.col("doc_id") % 10 == 7, F.encode(pdf, "UTF-8")
+    ).otherwise(F.encode(html, "UTF-8"))
     return d.select(
         F.concat(F.lit("https://docs.example/"), F.lpad(F.col("doc_id").cast("string"), 8, "0")).alias("url"),
         F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
-        F.encode(html, "UTF-8").alias("html"),
+        payload.alias("html"),
         F.col("text"),
         F.col("lang"),
     )

@@ -103,20 +103,57 @@ def run_extraction_job(
     cache_handles: list = []
     result = extract(todo, cfg, num_partitions=0, handles=cache_handles)
 
-    # per-partition lineage (docs counted per task partition of the final
-    # stage — written to the runs table alongside the commit)
+    # per-partition lineage (J7): counters AND a MEASURED per-partition
+    # elapsed. The counting pass runs as a mapInPandas over the persisted-
+    # but-not-yet-materialized result, so the first (collecting) action
+    # computes each partition's extraction inside the very task that times
+    # it — wall_us is the real compute-and-cache time of that partition,
+    # not a job-level constant stamped on every row (round-3 verdict #7).
+    # Only metadata columns (url, success) cross into Python; one output
+    # row per non-empty partition.
     result = result.persist()
-    lineage = (
-        result.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(
-            F.count(F.lit(1)).alias("rows_out"),
-            F.countDistinct("url").alias("docs_in"),
-            F.sum(F.when(F.col("success"), 1).otherwise(0)).alias("rows_ok"),
-            F.sum(F.when(~F.col("success"), 1).otherwise(0)).alias("rows_failed"),
-        )
-        .withColumn("run_id", F.lit(run_id))
+    lin_schema = (
+        "partition_id int, rows_out long, docs_in long, rows_ok long, "
+        "rows_failed long, wall_us long"
     )
-    lineage_rows = lineage.collect()
+
+    def _lineage_gen(batches):
+        import pandas as pd  # noqa: PLC0415 — worker-side import
+
+        t_start = time.monotonic()
+        pid, rows, ok = -1, 0, 0
+        urls: set = set()
+        for pdf in batches:
+            if len(pdf):
+                pid = int(pdf["_pid"].iloc[0])
+                rows += len(pdf)
+                ok += int(pdf["success"].sum())
+                urls.update(pdf["url"])
+        if rows:
+            yield pd.DataFrame(
+                [
+                    {
+                        "partition_id": pid,
+                        "rows_out": rows,
+                        "docs_in": len(urls),
+                        "rows_ok": ok,
+                        "rows_failed": rows - ok,
+                        "wall_us": int((time.monotonic() - t_start) * 1_000_000),
+                    }
+                ]
+            )
+
+    lineage_rows = (
+        result.select("url", "success", F.spark_partition_id().alias("_pid"))
+        .mapInPandas(_lineage_gen, lin_schema)
+        .collect()
+    )
+    # re-materialize from the COLLECTED rows: running the lazy lineage plan
+    # a second time (for the runs-table append) would re-measure a warm
+    # cache scan and overwrite the real timings
+    lineage = spark.createDataFrame(lineage_rows, lin_schema).withColumn(
+        "run_id", F.lit(run_id)
+    )
 
     n_rows = sum(r["rows_out"] for r in lineage_rows)
     summary = {
@@ -132,7 +169,10 @@ def run_extraction_job(
         snapshot_id = out_table.append(result, run_id=run_id, meta=summary)
         runs_table.append(
             lineage.withColumn("snapshot_id", F.lit(snapshot_id)).withColumn(
-                "wall_ms", F.lit(int((time.time() - t0) * 1000))
+                # job-level wall clock (one value per run, distinct from the
+                # measured per-partition wall_us)
+                "job_wall_ms",
+                F.lit(int((time.time() - t0) * 1000)),
             ),
             run_id=run_id,
         )

@@ -76,7 +76,15 @@ def test_lineage_rows_cover_all_docs(spark, tmp_path):
         F.sum("rows_failed").alias("failed"),
     ).collect()[0]
     assert agg["rows"] == 60 and agg["ok"] + agg["failed"] == 60
-    assert {"partition_id", "run_id", "snapshot_id", "wall_ms"} <= set(lin.columns)
+    assert {"partition_id", "run_id", "snapshot_id", "wall_us", "job_wall_ms"} <= set(
+        lin.columns
+    )
+    # per-partition elapsed is MEASURED (round-3 verdict #7), not a job-level
+    # literal: every value positive, and values differ across partitions
+    # (µs resolution makes collisions vanishingly unlikely)
+    walls = [r["wall_us"] for r in lin.select("wall_us").collect()]
+    assert min(walls) > 0
+    assert len(walls) == 1 or len(set(walls)) >= 2
 
 
 def test_snapshot_diff_incremental_read(spark, tmp_path):
