@@ -153,6 +153,14 @@ def label_pass1(
             "label", classify_token(F.col("token"), F.lag("token").over(w))
         )
     t = F.col("token")
+    # Pushdown barrier: without it, Catalyst substitutes the aliases and
+    # pushes the keep-predicate below the DISTINCT — the ~40-test classifier
+    # chain then runs once per token OCCURRENCE in the filter (the exact
+    # cost dictionary encoding exists to avoid; measured 2.2× on q17). The
+    # predicate references a nondeterministic column (always-true term), so
+    # the projection cannot be substituted through and the classifier is
+    # evaluated exactly once per distinct token; the barrier column is
+    # dropped and never affects output values.
     dic = (
         tokens.select("token")
         .distinct()
@@ -162,13 +170,18 @@ def label_pass1(
             classify_token(t, None, road_guard=F.lit(True)).alias("_lbl_guard"),
             _contains_any(t, V.ROAD_KEYWORDS).alias("_is_road"),
             (t.rlike(DIGITS_RE) & (F.length(t) <= 2)).alias("_guardable"),
+            F.monotonically_increasing_id().alias("_pushdown_barrier"),
         )
         .filter(
-            (F.col("_lbl_base") != "O")
-            | (F.col("_lbl_guard") != "O")
-            | F.col("_is_road")
-            | F.col("_guardable")
+            (F.col("_pushdown_barrier") >= -1)  # always true; blocks pushdown
+            & (
+                (F.col("_lbl_base") != "O")
+                | (F.col("_lbl_guard") != "O")
+                | F.col("_is_road")
+                | F.col("_guardable")
+            )
         )
+        .drop("_pushdown_barrier")
     )
     # broadcast keeps the input's (keys)-partitioning intact, so the lag()
     # window below still reuses the upstream exchange; size-bounded by the
