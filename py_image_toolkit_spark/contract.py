@@ -1750,6 +1750,131 @@ def q31(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# D2. web-corpus hygiene: URL canonicalization/dedup, host rollup,
+#     deterministic hash sampling (operators/web.py)
+# --------------------------------------------------------------------------
+
+_URLS_SQL = """
+urls AS (
+  SELECT doc_id, n_chars, lang,
+         'https://Host-' || CAST(doc_id % 40 AS VARCHAR) || '.Example:443/p/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, n_chars, lang,
+         'https://HOST-' || CAST(doc_id % 40 AS VARCHAR) || '.Example/p/'
+           || CAST(doc_id AS VARCHAR) || '?utm_source=abc&utm_medium=z#frag'
+  FROM documents WHERE doc_id % 11 = 0
+)
+"""
+
+
+def _urls_df(spark, sf_dir) -> DataFrame:
+    """Synthesized URL table mirroring _URLS_SQL — base rows carry an
+    explicit :443 port and mixed-case host; every 11th doc gets a variant
+    row (uppercase host, tracking params, fragment) that must canonicalize
+    to the same URL."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars", "lang")
+    did = F.col("doc_id").cast("string")
+    base = d.select(
+        "doc_id", "n_chars", "lang",
+        F.concat(
+            F.lit("https://Host-"), (F.col("doc_id") % 40).cast("string"),
+            F.lit(".Example:443/p/"), did,
+        ).alias("url"),
+    )
+    variants = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "n_chars", "lang",
+        F.concat(
+            F.lit("https://HOST-"), (F.col("doc_id") % 40).cast("string"),
+            F.lit(".Example/p/"), did,
+            F.lit("?utm_source=abc&utm_medium=z#frag"),
+        ).alias("url"),
+    )
+    return base.unionByName(variants)
+
+
+def _canon_sql(col: str) -> str:
+    """DuckDB rendering of operators/web.py canonical_url — byte-identical
+    regex chain ('g' = replace-all, Spark's default)."""
+    head = (
+        f"regexp_replace(lower(regexp_extract({col}, "
+        "'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)), ':(80|443)$', '')"
+    )
+    rest = f"regexp_replace({col}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '', 'g')"
+    rest = f"regexp_replace({rest}, '#.*$', '', 'g')"
+    rest = f"regexp_replace({rest}, '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g')"
+    rest = f"regexp_replace({rest}, '&&+', '&', 'g')"
+    rest = f"regexp_replace({rest}, '[?&]+$', '', 'g')"
+    rest = f"regexp_replace({rest}, '\\?&', '?', 'g')"
+    rest = f"regexp_replace({rest}, '/$', '', 'g')"
+    return f"({head} || {rest})"
+
+
+@register(
+    "q37_canonical_url_dedup",
+    f"""
+    WITH {_URLS_SQL}
+    SELECT {_canon_sql("url")} AS canonical_url,
+           MIN(doc_id) AS canonical_id, COUNT(*) AS n_variants
+    FROM urls
+    GROUP BY 1 HAVING COUNT(*) >= 2
+    ORDER BY canonical_url
+    """,
+)
+def q37(spark, sf_dir):
+    """URL canonicalization + duplicate-URL groups (operators/web.py):
+    lowercase scheme/host, default-port & fragment strip, tracking-param
+    removal — whole-stage-codegen regex chain, then one groupBy on the
+    canonical key (the url-level analog of q18's content-hash dedup)."""
+    from py_image_toolkit_spark.operators.web import canonical_dedup
+
+    return canonical_dedup(_urls_df(spark, sf_dir)).orderBy("canonical_url")
+
+
+@register(
+    "q38_host_rollup",
+    f"""
+    WITH {_URLS_SQL}
+    SELECT lower(regexp_replace(regexp_extract(url,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$', '')) AS host,
+           COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(FLOOR(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
+                * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS short_share_micro
+    FROM urls GROUP BY 1 ORDER BY host
+    """,
+)
+def q38(spark, sf_dir):
+    """Per-host corpus accounting (docs, byte volume, language mix, short-doc
+    share): one keyed groupBy, every aggregate algebraic/map-side-combinable
+    — the standard first look at a crawl's host distribution and the input
+    to host-level quality gating."""
+    from py_image_toolkit_spark.operators.web import host_rollup
+
+    return host_rollup(_urls_df(spark, sf_dir)).orderBy("host")
+
+
+@register(
+    "q39_hash_sample",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+    ORDER BY doc_id
+    """,
+)
+def q39(spark, sf_dir):
+    """Deterministic 25% corpus subsample by md5-prefix threshold
+    (operators/web.py hash_sample): reproducible across engines and runs
+    (no rand()), co-samples the same keys in every table sharing them —
+    the right way to cut a dev slice out of a 100 TB corpus."""
+    from py_image_toolkit_spark.operators.web import hash_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return hash_sample(d, 0.25, "doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
 # E. flagship: the full extraction pipeline over pages built from the
 #    driver's documents table (rows-only driver check; byte-parity vs the
 #    pure-Python oracle is asserted by pytest on the synthetic pages fixture)

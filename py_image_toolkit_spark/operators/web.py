@@ -1,0 +1,120 @@
+"""Web-corpus hygiene operators — the URL-level half of a Common-Crawl-style
+training-data pipeline (the document-level half lives in dedup.py /
+cluster.py / text_stats.py).
+
+- canonical_url      : deterministic URL normalization (lowercase
+                       scheme+host, default-port strip, fragment strip,
+                       tracking-param removal, trailing-slash trim) as a
+                       pure Column expression — at 10^12 docs this runs in
+                       whole-stage codegen, no Python anywhere.
+- canonical_dedup    : duplicate-URL groups after canonicalization (the
+                       url-level analog of exact_dedup's content hash).
+- host_rollup        : per-host corpus accounting (doc counts, byte
+                       volume, language mix) — one keyed groupBy with
+                       map-side partials; the standard first look at a
+                       crawl's host distribution and the input to host-
+                       level quality decisions.
+- hash_sample        : deterministic corpus subsampling by md5-prefix
+                       threshold — hex strings compare uniformly, so a
+                       lexicographic cut gives an unbiased rate-controlled
+                       sample that is REPRODUCIBLE across engines and runs
+                       (no rand(), no seed plumbing), and co-samples the
+                       same keys in every derived table.
+
+Every operator is Column-only and cross-engine reproducible (the q37-q39
+DuckDB oracles apply byte-identical expressions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tracking parameters stripped during canonicalization (the common
+# click/campaign identifiers; extend per deployment)
+TRACKING_PARAM_RE = r"(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*"
+
+
+def canonical_url(url: Column) -> Column:
+    """Normalize a URL Column: lowercase scheme+authority, strip :80/:443,
+    drop the fragment, remove tracking params, collapse dangling ?/& and a
+    trailing slash. Pure deterministic regex chain (Java and RE2 agree on
+    every pattern used here)."""
+    head = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
+    head = F.regexp_replace(head, r":(80|443)$", "")
+    rest = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")  # fragment
+    rest = F.regexp_replace(rest, TRACKING_PARAM_RE, "")
+    # separator cleanup, in dependency order: collapse runs of '&' first,
+    # then strip a dangling '?'/'&' tail, then heal '?&' → '?'
+    rest = F.regexp_replace(rest, r"&&+", "&")
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"/$", "")  # trailing slash
+    return F.concat(head, rest)
+
+
+def canonical_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-URL groups after canonicalization:
+    (canonical_url, canonical_id=min(id), n_variants>=2)."""
+    return (
+        df.select(F.col(id_col), canonical_url(F.col(url_col)).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_variants"))
+        .filter(F.col("n_variants") >= 2)
+    )
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased authority host (port stripped)."""
+    return F.lower(
+        F.regexp_replace(
+            F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1),
+            r":\d+$",
+            "",
+        )
+    )
+
+
+def host_rollup(
+    df: DataFrame, url_col: str = "url", chars_col: str = "n_chars", lang_col: str = "lang"
+) -> DataFrame:
+    """Per-host corpus accounting: docs, total chars, distinct languages,
+    share of short documents (< 200 chars) in micro-units. One shuffle on
+    the host key, all aggregates algebraic (map-side combinable)."""
+    return (
+        df.select(
+            host_of(F.col(url_col)).alias("host"),
+            F.col(chars_col),
+            F.col(lang_col),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(chars_col).alias("total_chars"),
+            F.countDistinct(lang_col).alias("n_langs"),
+            F.floor(
+                F.sum(F.when(F.col(chars_col) < 200, 1).otherwise(0))
+                * 1_000_000.0
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("short_share_micro"),
+        )
+    )
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic unbiased subsample: keep rows whose md5(key) 8-hex-char
+    prefix falls below the rate threshold. Same rows on every run and every
+    engine; correlated sampling across tables sharing the key. ``rate`` in
+    [0, 1]."""
+    t = int(rate * 16**8)
+    # 'g' sorts above every lowercase hex digit → rate >= 1 keeps all rows
+    # (format(16**8) would be 9 chars and break the 8-char lexicographic cut)
+    threshold = "g" if t >= 16**8 else format(t, "08x")
+    pfx = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8)
+    return df.filter(pfx < F.lit(threshold))

@@ -1,0 +1,82 @@
+"""operators/web.py — URL canonicalization, host rollup, hash sampling."""
+
+from pyspark.sql import functions as F
+
+from py_image_toolkit_spark.operators.web import (
+    canonical_dedup,
+    canonical_url,
+    hash_sample,
+    host_of,
+    host_rollup,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+
+
+def test_canonical_url_edge_cases(spark):
+    got = _canon(
+        spark,
+        [
+            "https://Example.COM:443/Path/",                      # port+case+slash
+            "http://site.org:80/a?utm_source=x&utm_medium=y#f",   # all-tracking query
+            "https://h.io/p?utm_a=1&keep=2",                      # leading tracking
+            "https://h.io/p?keep=1&utm_a=2&also=3",               # interior tracking
+            "https://h.io/p?utm_a=1&utm_b=2&keep=3",              # adjacent tracking
+            "https://h.io/p#only-fragment",
+            "https://h.io:8080/p",                                # non-default port kept
+        ],
+    )
+    assert got == [
+        "https://example.com/Path",
+        "http://site.org/a",
+        "https://h.io/p?keep=2",
+        "https://h.io/p?keep=1&also=3",
+        "https://h.io/p?keep=3",
+        "https://h.io/p",
+        "https://h.io:8080/p",
+    ]
+
+
+def test_canonical_dedup_groups_variants(spark):
+    rows = [
+        (1, "https://A.example:443/x?utm_source=s"),
+        (2, "https://a.example/x"),
+        (3, "https://a.example/y"),  # singleton → excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = canonical_dedup(df).collect()
+    assert len(out) == 1
+    assert out[0]["canonical_url"] == "https://a.example/x"
+    assert out[0]["canonical_id"] == 1 and out[0]["n_variants"] == 2
+
+
+def test_host_rollup_counts(spark):
+    rows = [
+        (1, "https://A.example:443/x", 100, "en"),
+        (2, "https://a.example/y", 300, "ko"),
+        (3, "https://b.example/z", 50, "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_chars long, lang string")
+    out = {r["host"]: r for r in host_rollup(df).collect()}
+    a = out["a.example"]
+    assert a["n_docs"] == 2 and a["total_chars"] == 400 and a["n_langs"] == 2
+    assert a["short_share_micro"] == 500_000  # 1 of 2 docs < 200 chars
+    assert out["b.example"]["short_share_micro"] == 1_000_000
+    assert host_of(F.lit("x")) is not None  # Column builder importable alone
+
+
+def test_hash_sample_deterministic_and_unbiased(spark):
+    df = spark.createDataFrame([(i,) for i in range(4000)], "doc_id long")
+    a = sorted(r["doc_id"] for r in hash_sample(df, 0.25).collect())
+    b = sorted(r["doc_id"] for r in hash_sample(df, 0.25).collect())
+    assert a == b  # reproducible
+    assert 0.22 < len(a) / 4000 < 0.28  # near the target rate
+    # monotone nesting: a lower rate yields a strict subset
+    c = set(r["doc_id"] for r in hash_sample(df, 0.1).collect())
+    assert c <= set(a)
+    # boundary rates
+    assert hash_sample(df, 0.0).count() == 0
+    assert hash_sample(df, 1.0).count() == 4000
