@@ -1874,6 +1874,87 @@ def q39(spark, sf_dir):
     return hash_sample(d, 0.25, "doc_id").orderBy("doc_id")
 
 
+@register(
+    "q40_quantize_embeddings",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+    s AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+          FROM v)
+    SELECT vec_id,
+           CAST(FLOOR(scale * 1000000000 + 0.5) AS BIGINT) AS scale_nano,
+           array_to_string(
+             CASE WHEN scale > 0
+                  THEN list_transform(dv, x -> CAST(CAST(FLOOR(x / scale + 0.5) AS INTEGER) AS VARCHAR))
+                  ELSE list_transform(dv, x -> '0') END, ',') AS qvec_csv
+    FROM s ORDER BY vec_id
+    """,
+)
+def q40(spark, sf_dir):
+    """Per-vector symmetric int8 quantization (operators/similarity.py):
+    the storage/IO half of a 100 TB ANN index — 4-8× smaller vectors,
+    int-safe dot products. Round-half-up on IEEE doubles is engine-
+    deterministic; qvec serialized to CSV for the driver's value hash."""
+    from py_image_toolkit_spark.operators.similarity import quantize_embeddings_int8
+
+    q = quantize_embeddings_int8(t(spark, sf_dir, "embeddings"))
+    return q.select(
+        "vec_id",
+        "scale_nano",
+        F.concat_ws(",", F.transform(F.col("qvec"), lambda x: x.cast("string"))).alias(
+            "qvec_csv"
+        ),
+    ).orderBy("vec_id")
+
+
+@register(
+    "q41_shared_ngram_spans",
+    """
+    WITH docs2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 6 = 0
+                  THEN text || ' all rights reserved contact site admin for removal details'
+                  ELSE text END AS text
+      FROM documents
+    ),
+    ntoks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+      FROM docs2
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(arr[i:i+4], ' ')) AS g
+      FROM ntoks, UNNEST(generate_series(1, len(arr) - 4)) AS t(i)
+      WHERE len(arr) >= 5
+    ),
+    shared AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT doc_id, COUNT(*) AS n_ngrams,
+           SUM(CASE WHEN g IN (SELECT g FROM shared) THEN 1 ELSE 0 END) AS shared_ngrams,
+           CAST(FLOOR(SUM(CASE WHEN g IN (SELECT g FROM shared) THEN 1 ELSE 0 END)
+                * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS shared_frac_micro
+    FROM grams GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q41(spark, sf_dir):
+    """Cross-document repeated n-gram detection (substring-level dedup
+    signal — boilerplate/quote contamination inside otherwise-distinct
+    docs). A deterministic 10-word disclaimer is appended to every 6th doc
+    so shared 5-grams exist; the operator finds them with one hash groupBy
+    + one keyed semi-equijoin, never doc × doc (operators/dedup.py
+    shared_ngram_stats)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" all rights reserved contact site admin for removal details"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return D.shared_ngram_stats(d, n=5).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # E. flagship: the full extraction pipeline over pages built from the
 #    driver's documents table (rows-only driver check; byte-parity vs the

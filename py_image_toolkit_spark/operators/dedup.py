@@ -268,6 +268,70 @@ def simhash_close_pairs(
     )
 
 
+def ngram_pos_df(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """(id, pos, g) rows — md5 of each word n-gram WITH its position
+    (position-keeping variant of shingle_df; same posexplode+lead plan,
+    one url-keyed window shuffle, no per-element re-tokenization)."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_array(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, n)]
+    return (
+        toks.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.when(parts[-1].isNotNull(), _md5(F.concat_ws(" ", *parts))).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+    )
+
+
+def shared_ngram_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Substring-level duplication signal (the cross-document analog of
+    "Deduplicating Training Data Makes Language Models Better": repeated
+    boilerplate/quotes INSIDE otherwise-distinct documents):
+
+    - an n-gram is SHARED when it occurs in ≥ 2 distinct documents — one
+      groupBy on the n-gram hash, map-side combinable;
+    - per document: total n-gram positions, positions covered by shared
+      n-grams, and the covered fraction in micro-units.
+
+    Scale shape: the only corpus-sized shuffles are the hash groupBy and
+    one keyed equijoin of grams against the shared-hash table — never a
+    doc × doc comparison. Documents with < n tokens emit no row."""
+    grams = ngram_pos_df(df, id_col, text_col, n)
+    shared = (
+        grams.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("g", F.lit(1).alias("_sh"))
+    )
+    return (
+        grams.join(shared, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("_sh"), F.lit(0))).cast("long").alias("shared_ngrams"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "shared_ngrams",
+            F.floor(
+                F.col("shared_ngrams") * 1_000_000.0 / F.col("n_ngrams") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("shared_frac_micro"),
+        )
+    )
+
+
 def dot_cosine(a: Column, b: Column) -> Column:
     """Cosine of two array<float/double> columns via a sequential left fold
     (F.aggregate) — deterministic summation order, identical across engines."""

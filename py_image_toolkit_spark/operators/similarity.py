@@ -237,6 +237,35 @@ def train_kmeans_centroids(
     )
 
 
+def quantize_embeddings_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage/IO half of a
+    100 TB ANN index (4× smaller than float32, 8× smaller than float64;
+    dot products stay int32-safe at any realistic dimension).
+
+    scale = max(|v|)/127; q_i = floor(v_i/scale + 0.5) ∈ [-127, 127]
+    (round-half-up, IEEE-deterministic, identical in Spark and DuckDB —
+    q40 hash-gates it). Zero vectors quantize to all-zero with scale 0.
+    Reconstruction error is bounded by scale/2 per coordinate (property-
+    tested). Columns out: (id, scale_nano int64, qvec array<int>) —
+    scale_nano stores the scale at 1e-9 resolution (7 significant digits
+    for unit-norm-ish embeddings; vectors with max|v| < ~1e-7 need a finer
+    rendering before dequantization from the stored column)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = mx / F.lit(127.0)
+    qvec = F.when(
+        mx > 0,
+        F.transform(v, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return emb.select(
+        F.col(id_col),
+        F.floor(scale * 1_000_000_000 + F.lit(0.5)).cast("long").alias("scale_nano"),
+        qvec.alias("qvec"),
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     probes: DataFrame,

@@ -322,3 +322,51 @@ def test_trained_centroids_beat_untrained_recall(spark):
     untrained = recall(corpus.filter(F.col("vec_id") % 20 == 0))
     assert trained >= untrained
     assert trained >= 0.9
+
+
+def test_quantize_int8_error_bound_and_edge_cases(spark):
+    """Reconstruction error <= scale/2 per coordinate; values span the full
+    [-127, 127] range at the extremes; zero vectors quantize cleanly."""
+    import numpy as np
+
+    from py_image_toolkit_spark.operators.similarity import quantize_embeddings_int8
+
+    rng = np.random.RandomState(9)
+    vecs = {0: rng.randn(16) * 3.7, 1: np.zeros(16), 2: np.array([1e-9] * 16)}
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_embeddings_int8(emb).collect()}
+    for i, v in vecs.items():
+        true_scale = np.abs(v).max() / 127.0
+        q = np.array(out[i]["qvec"])
+        assert q.max() <= 127 and q.min() >= -127
+        if true_scale == 0:
+            assert (q == 0).all() and out[i]["scale_nano"] == 0
+        else:
+            recon = q * true_scale
+            assert np.abs(recon - v).max() <= true_scale / 2 + 1e-12
+            # scale_nano is the stored (1e-9-resolution) rendering
+            assert out[i]["scale_nano"] == int(np.floor(true_scale * 1e9 + 0.5))
+    assert abs(out[0]["qvec"][int(np.argmax(np.abs(vecs[0])))]) == 127
+
+
+def test_shared_ngram_stats_finds_boilerplate(spark):
+    from py_image_toolkit_spark.operators.dedup import shared_ngram_stats
+
+    boiler = "all rights reserved by the site"
+    rows = [
+        (1, "unique words alpha beta gamma delta " + boiler),
+        (2, "different content epsilon zeta eta theta " + boiler),
+        (3, "totally unrelated text with enough tokens here"),
+        (4, "shrt"),  # < n tokens -> no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in shared_ngram_stats(df, n=5).collect()}
+    assert set(out) == {1, 2, 3}
+    # the 6-word boilerplate contributes exactly 2 shared 5-grams per doc
+    assert out[1]["shared_ngrams"] == 2 and out[2]["shared_ngrams"] == 2
+    assert out[3]["shared_ngrams"] == 0
+    assert out[1]["n_ngrams"] == len(rows[0][1].split()) - 4
+    assert 0 < out[1]["shared_frac_micro"] < 1_000_000
