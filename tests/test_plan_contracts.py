@@ -1,0 +1,118 @@
+"""Plan-shape contracts for the scale-critical operators.
+
+The 100 TB posture claims (broadcast the small side, keyed equijoins only,
+one text shuffle in the extraction pipeline) are asserted here against the
+EXECUTED physical plan, so a regression that silently flips a join to a
+cartesian product or adds a wide shuffle fails CI instead of surviving as
+stale documentation."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(1)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(60)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_flat_plan_broadcasts_centroids_no_cartesian(emb):
+    from py_image_toolkit_spark.operators.similarity import ivf_flat_topk
+
+    plan = plan_of(
+        ivf_flat_topk(
+            emb.filter("vec_id >= 5"),
+            emb.filter("vec_id < 5"),
+            emb.filter("vec_id % 10 = 0"),
+            k=5,
+            nprobe=2,
+        )
+    )
+    assert "CartesianProduct" not in plan
+    # centroid assignment AND probe-cell search both broadcast a small side
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_lsh_band_pairs_is_keyed_equijoin(spark):
+    from py_image_toolkit_spark.operators.dedup import (
+        lsh_band_pairs,
+        minhash_signatures,
+        shingle_df,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} " * 3 + "common words shared across docs here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(shingle_df(docs, k=3))
+    plan = plan_of(lsh_band_pairs(sigs))
+    # the bucket self-join must be an equijoin on (band, bucket) — the whole
+    # point of banding is to NEVER run the quadratic comparison
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_verify_semi_join_reduces(spark):
+    from py_image_toolkit_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_band_pairs,
+        minhash_signatures,
+        shingle_df,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog variant " + str(i % 3))
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    sh = shingle_df(docs, k=3)
+    cands = lsh_band_pairs(minhash_signatures(sh))
+    plan = plan_of(jaccard_pairs(sh, candidates=cands))
+    assert "LeftSemi" in plan  # shingles shrink to candidate ids FIRST
+    assert "CartesianProduct" not in plan
+
+
+def test_doc_pipeline_single_exchange_single_python_stage(spark, tmp_path):
+    from py_image_toolkit_spark.fixtures import pages_df
+    from py_image_toolkit_spark.plans.pipeline import extract
+
+    # materialize the fixture so the pipeline input is a parquet SCAN (the
+    # production shape) — pages_df itself is a mapInPandas generator and
+    # would double-count the Python stages
+    src = str(tmp_path / "pages")
+    pages_df(spark, 8).write.parquet(src)
+    plan = plan_of(extract(spark.read.parquet(src)))
+    # the production plan: scan → ONE url repartition → ONE Arrow stage →
+    # (no wide shuffle of document text anywhere)
+    assert plan.count("Exchange") <= 1 + plan.count("AQEShuffleRead")
+    assert plan.count("MapInPandas") + plan.count("ArrowEvalPython") == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_canonical_dedup_single_aggregation_shuffle(spark):
+    from py_image_toolkit_spark.operators.web import canonical_dedup
+
+    df = spark.createDataFrame(
+        [(i, f"https://h{i % 3}.io/p/{i}") for i in range(10)],
+        "doc_id long, url string",
+    )
+    plan = plan_of(canonical_dedup(df))
+    # partial + final hash aggregate around exactly one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") <= 1 + plan.count("AQEShuffleRead")
+
+
+def test_kmeans_trainer_broadcasts_centroids(emb):
+    from py_image_toolkit_spark.operators.similarity import train_kmeans_centroids
+
+    plan = plan_of(train_kmeans_centroids(emb, k=4, iters=1))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # corpus × centroids via broadcast
