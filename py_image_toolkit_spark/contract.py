@@ -1955,6 +1955,83 @@ def q41(spark, sf_dir):
     return D.shared_ngram_stats(d, n=5).orderBy("doc_id")
 
 
+@register(
+    "q42_pii_redaction",
+    """
+    WITH pdocs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0
+                  THEN text || ' contact 010-1234-5678 or hong@example.com rrn 880505-1122334 plain 8805051122334'
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '\\d{6}\\s*-\\s*\\d{7}')) AS BIGINT) AS n_rrn,
+      CAST(len(regexp_extract_all(text, '\\b\\d{13}\\b')) AS BIGINT) AS n_rrn13,
+      CAST(len(regexp_extract_all(text, '\\b0\\d{1,2}-\\d{3,4}-\\d{4}\\b')) AS BIGINT) AS n_phone,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+          '\\d{6}\\s*-\\s*\\d{7}', '[RRN]', 'g'),
+          '\\b\\d{13}\\b', '[RRN]', 'g'),
+          '\\b0\\d{1,2}-\\d{3,4}-\\d{4}\\b', '[PHONE]', 'g'),
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g')) AS redacted_md5
+    FROM pdocs ORDER BY doc_id
+    """,
+)
+def q42(spark, sf_dir):
+    """PII scrubbing for corpus release (operators/text_stats.py
+    redact_pii): RRN/phone/email detection counts + redacted text, pure
+    regexp chain in overlap-safe order. Deterministic PII is planted on
+    every 9th doc; the redacted text is md5'd for the driver's value hash
+    (proving byte-identical scrubbing across engines)."""
+    from py_image_toolkit_spark.operators.text_stats import redact_pii
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " contact 010-1234-5678 or hong@example.com"
+                    " rrn 880505-1122334 plain 8805051122334"
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = redact_pii(d)
+    return out.select(
+        "doc_id", "n_rrn", "n_rrn13", "n_phone", "n_email",
+        F.md5(F.encode(F.col("redacted_text"), "UTF-8")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "q43_weighted_corpus_mix",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE WHEN source IN ('src0', 'src1', 'src2') THEN 'g'
+           WHEN source IN ('src3', 'src4') THEN '19999999'
+           ELSE '80000000' END
+    ORDER BY doc_id
+    """,
+)
+def q43(spark, sf_dir):
+    """Deterministic training-mix sampling (operators/text_stats.py
+    weighted_sample): per-source keep rates via nested md5-prefix
+    thresholds — src0-2 at 100%, src3-4 at 10%, the rest at 50% —
+    reproducible across engines and re-weightable without resampling
+    churn."""
+    from py_image_toolkit_spark.operators.text_stats import weighted_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    rates = {"src0": 1.0, "src1": 1.0, "src2": 1.0, "src3": 0.1, "src4": 0.1}
+    return weighted_sample(d, rates, default_rate=0.5).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # E. flagship: the full extraction pipeline over pages built from the
 #    driver's documents table (rows-only driver check; byte-parity vs the

@@ -193,3 +193,65 @@ def fingerprint(
         F.when(F.size(arr) >= shingle_k,
                F.array_join(F.slice(hashes, 1, k), "|")).alias("fingerprint"),
     )
+
+
+# PII redaction patterns — chosen to behave identically under Java regex
+# (Spark) and RE2 (DuckDB): no lookaround, \b is ASCII-word-boundary in both
+_PII_PATTERNS = (
+    ("rrn", r"\d{6}\s*-\s*\d{7}", "[RRN]"),
+    ("rrn13", r"\b\d{13}\b", "[RRN]"),
+    ("phone", r"\b0\d{1,2}-\d{3,4}-\d{4}\b", "[PHONE]"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+)
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora — the downstream twin of the E3
+    extractor (the extractor FINDS resident-registration numbers; a corpus
+    release must REMOVE them). Pure regexp_replace chain (whole-stage
+    codegen, no Python), applied in overlap-safe order: dashed RRN before
+    the 13-digit form before phone numbers before emails.
+
+    Output: per-category match counts (pre-redaction) and the redacted
+    text — counts let a pipeline quarantine PII-dense documents instead of
+    shipping them scrubbed."""
+    txt = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(txt, F.lit(pat), 0)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in _PII_PATTERNS
+    ]
+    red = txt
+    for _, pat, repl in _PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(F.col(id_col), *counts, red.alias("redacted_text"))
+
+
+def weighted_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "doc_id",
+    group_col: str = "source",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group corpus mixing: keep each row with its
+    group's rate, decided by the md5-prefix of the row KEY (same mechanism
+    as web.hash_sample — reproducible across engines/runs, co-samples the
+    same keys everywhere). This is how a training mix is cut from a web
+    corpus: e.g. {'wiki': 1.0, 'cc': 0.1, 'forums': 0.3}.
+
+    A group's sample is a strict superset of every lower-rate sample of the
+    same keys (thresholds are nested), so mixes can be re-weighted without
+    resampling churn."""
+
+    def _thr(rate: float) -> str:
+        t = int(rate * 16**8)
+        return "g" if t >= 16**8 else format(t, "08x")
+
+    thr = None
+    for g, r in sorted(rates.items()):
+        cond = F.when(F.col(group_col) == g, F.lit(_thr(r)))
+        thr = cond if thr is None else thr.when(F.col(group_col) == g, F.lit(_thr(r)))
+    thr = (thr.otherwise(F.lit(_thr(default_rate))) if thr is not None
+           else F.lit(_thr(default_rate)))
+    pfx = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8)
+    return df.filter(pfx < thr)

@@ -127,6 +127,8 @@ class SnapshotTable:
         meta: dict | None = None,
         encode: "EncodeOptions | None" = None,
         stats_cols: tuple[str, ...] = (),
+        replace: bool = False,
+        require_base_snapshot: int | None = None,
     ) -> int:
         """Write df to a fresh commit directory, then publish it with an
         optimistic-concurrency manifest commit. Returns the new snapshot id.
@@ -164,8 +166,24 @@ class SnapshotTable:
         while True:
             prev = self.latest_snapshot()
             snapshot_id = (prev["snapshot_id"] + 1) if prev else 1
-            dirs = (prev["data_dirs"] if prev else []) + [f"commit-{token}"]
-            commit_stats = dict(prev.get("commit_stats", {})) if prev else {}
+            if require_base_snapshot is not None and (
+                prev is None or prev["snapshot_id"] != require_base_snapshot
+            ):
+                # Iceberg-style validation: a replacing commit built from
+                # snapshot N must abort if anyone has published past N —
+                # silently replacing would drop their rows from the lineage
+                raise RuntimeError(
+                    "concurrent append during replace: base snapshot "
+                    f"{require_base_snapshot} is no longer latest"
+                )
+            if replace:
+                # replacing commit (compaction): the new lineage is exactly
+                # this commit; prior directories stay on disk for time travel
+                dirs = [f"commit-{token}"]
+                commit_stats = {}
+            else:
+                dirs = (prev["data_dirs"] if prev else []) + [f"commit-{token}"]
+                commit_stats = dict(prev.get("commit_stats", {})) if prev else {}
             if stats:
                 commit_stats[f"commit-{token}"] = stats
             manifest = {
@@ -238,6 +256,70 @@ class SnapshotTable:
             return None
         paths = [os.path.join(self.data_dir, d) for d in dirs]
         return spark.read.parquet(*paths)
+
+    def compact(
+        self,
+        spark: SparkSession,
+        target_partitions: int | None = None,
+        stats_cols: tuple[str, ...] = (),
+    ) -> int | None:
+        """Rewrite ALL live data directories into one fresh commit and
+        publish a manifest whose lineage is exactly that commit — the
+        small-files maintenance op (at 10^12 docs, thousands of incremental
+        appends otherwise degrade every scan's split planning and footer
+        reads; ≙ Iceberg's rewrite_data_files).
+
+        Time travel is preserved: old manifests still list the old
+        directories, which are NOT deleted here (garbage collection of
+        unreferenced directories is a separate, explicitly-destructive
+        step — see ``expire_snapshots``). Readers are never disturbed: data
+        lands first, the O_EXCL manifest link publishes atomically. A
+        concurrent append racing the rewrite makes the compaction ABORT
+        (Iceberg-style base-snapshot validation) rather than silently drop
+        the appended rows from the replacing lineage — retry when quiet.
+        Returns the new snapshot id (None for an empty table)."""
+        base = self.latest_snapshot()
+        if base is None or not base["data_dirs"]:
+            return None
+        df = self.read(spark, snapshot_id=base["snapshot_id"])
+        if target_partitions:
+            df = df.repartition(target_partitions)
+        return self.append(
+            df,
+            run_id="compact",
+            stats_cols=stats_cols,
+            meta={"compacted": True, "base_snapshot": base["snapshot_id"]},
+            replace=True,
+            require_base_snapshot=base["snapshot_id"],
+        )
+
+    def expire_snapshots(self, keep_latest: int = 1) -> list[str]:
+        """Drop manifests older than the ``keep_latest`` most recent and
+        delete data directories no surviving manifest references. The
+        explicitly-destructive half of compaction — time travel to expired
+        snapshots is gone afterward. Returns the deleted directory names."""
+        ms = self._manifests()
+        if len(ms) <= keep_latest:
+            return []
+        keep, drop = ms[-keep_latest:], ms[:-keep_latest]
+        live: set[str] = set()
+        for _, path in keep:
+            with open(path) as fh:
+                live.update(json.load(fh)["data_dirs"])
+        doomed: set[str] = set()
+        for _, path in drop:
+            with open(path) as fh:
+                doomed.update(json.load(fh)["data_dirs"])
+            os.unlink(path)
+        deleted = []
+        for d in sorted(doomed - live):
+            full = os.path.join(self.data_dir, d)
+            if os.path.isdir(full):
+                for f in os.listdir(full):
+                    os.unlink(os.path.join(full, f))
+                os.rmdir(full)
+                deleted.append(d)
+        return deleted
 
     def diff(self, spark: SparkSession, from_snapshot: int, to_snapshot: int) -> DataFrame | None:
         """Rows appended between two snapshots (incremental-read primitive)."""

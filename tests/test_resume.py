@@ -223,3 +223,59 @@ def test_concurrent_appends_no_lost_update(spark, tmp_path):
     assert len(snap["data_dirs"]) == n_writers
     rows = {r["v"] for r in tbl.read(spark).collect()}
     assert rows == {k * 100 + j for k in range(n_writers) for j in range(10)}
+
+
+def test_compact_rewrites_lineage_preserves_rows_and_time_travel(spark, tmp_path):
+    """compact(): many small commits → one replacing commit; rows identical,
+    old snapshots still readable (time travel), file listing shrinks, and a
+    concurrent append during the rewrite aborts instead of losing rows."""
+    from py_image_toolkit_spark.sources.tables import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "compact"))
+    for lo in (0, 10, 20, 30):
+        tbl.append(spark.range(lo, lo + 10).withColumnRenamed("id", "v"))
+    assert len(tbl.latest_snapshot()["data_dirs"]) == 4
+    before = sorted(r["v"] for r in tbl.read(spark).collect())
+
+    sid = tbl.compact(spark, target_partitions=1)
+    snap = tbl.latest_snapshot()
+    assert snap["snapshot_id"] == sid and len(snap["data_dirs"]) == 1
+    assert sorted(r["v"] for r in tbl.read(spark).collect()) == before
+    # time travel to a pre-compaction snapshot still works
+    assert tbl.read(spark, snapshot_id=2).count() == 20
+    # appends continue on top of the compacted lineage
+    tbl.append(spark.range(100, 105).withColumnRenamed("id", "v"))
+    assert tbl.read(spark).count() == 45
+
+    # base-snapshot validation: a publish between read and commit aborts
+    import pytest as _pytest
+
+    base = tbl.latest_snapshot()["snapshot_id"]
+    df = tbl.read(spark)
+    tbl.append(spark.range(200, 202).withColumnRenamed("id", "v"))  # racer
+    with _pytest.raises(RuntimeError, match="concurrent append during replace"):
+        tbl.append(df, replace=True, require_base_snapshot=base)
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    """expire_snapshots(): old manifests go, directories referenced only by
+    them are deleted, the surviving snapshot is untouched."""
+    import os as _os
+
+    from py_image_toolkit_spark.sources.tables import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "expire"))
+    for lo in (0, 10, 20):
+        tbl.append(spark.range(lo, lo + 10).withColumnRenamed("id", "v"))
+    tbl.compact(spark, target_partitions=1)
+
+    deleted = tbl.expire_snapshots(keep_latest=1)
+    # the three pre-compaction directories are unreferenced by the survivor
+    assert len(deleted) == 3
+    assert tbl.snapshot_ids() == [4]
+    assert tbl.read(spark).count() == 30
+    # expired time travel is really gone
+    assert tbl.read(spark, snapshot_id=2) is None
+    live_dirs = set(tbl.latest_snapshot()["data_dirs"])
+    on_disk = set(_os.listdir(tbl.data_dir))
+    assert on_disk == live_dirs

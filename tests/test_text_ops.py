@@ -1,0 +1,50 @@
+"""redact_pii / weighted_sample (operators/text_stats.py)."""
+
+from pyspark.sql import functions as F
+
+from py_image_toolkit_spark.operators.text_stats import redact_pii, weighted_sample
+
+
+def test_redact_pii_patterns_and_counts(spark):
+    rows = [
+        (1, "call 010-1234-5678 now"),
+        (2, "rrn 880505-1122334 and plain 8805051122334 here"),
+        (3, "mail a.b+c%d@sub.example.co.kr please"),
+        (4, "clean text with digits 12345 and date 2021-03-05"),
+        (5, "두 번호 123456 - 1234567 그리고 02-123-4567"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+
+    assert out[1]["n_phone"] == 1 and "[PHONE]" in out[1]["redacted_text"]
+    assert "010" not in out[1]["redacted_text"]
+    assert out[2]["n_rrn"] == 1 and out[2]["n_rrn13"] == 1
+    assert out[2]["redacted_text"] == "rrn [RRN] and plain [RRN] here"
+    assert out[3]["n_email"] == 1
+    assert out[3]["redacted_text"] == "mail [EMAIL] please"
+    # no false positives: dates/short digit runs survive
+    assert out[4]["redacted_text"] == rows[3][1]
+    assert out[4]["n_rrn"] == out[4]["n_phone"] == out[4]["n_email"] == 0
+    # spaced dashed rrn + 2-digit area phone, Korean context
+    assert out[5]["n_rrn"] == 1 and out[5]["n_phone"] == 1
+    assert out[5]["redacted_text"] == "두 번호 [RRN] 그리고 [PHONE]"
+
+
+def test_weighted_sample_rates_and_nesting(spark):
+    rows = [(i, "hot" if i % 2 == 0 else "cold") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = weighted_sample(df, {"hot": 1.0, "cold": 0.2}).collect()
+    hot = [r["doc_id"] for r in out if r["source"] == "hot"]
+    cold = [r["doc_id"] for r in out if r["source"] == "cold"]
+    assert len(hot) == 2000  # rate 1.0 keeps everything
+    assert 0.15 < len(cold) / 2000 < 0.25
+    # default rate applies to unknown groups
+    none_kept = weighted_sample(df, {}, default_rate=0.0).count()
+    assert none_kept == 0
+    # nesting: the 0.2 cold sample is inside the 0.5 cold sample
+    half = {
+        r["doc_id"]
+        for r in weighted_sample(df, {"hot": 1.0, "cold": 0.5}).collect()
+        if r["source"] == "cold"
+    }
+    assert set(cold) <= half
