@@ -16,6 +16,9 @@ Subcommands:
               separately so intent shows up in job schedulers
     bench     timed extraction over a synthetic deterministic pages table
               (fixtures.pages_df) — prints one JSON line
+    compact   rewrite all live commits of a snapshot table into one
+              (small-files maintenance; --expire additionally GCs
+               pre-compaction snapshots)
 
 ``--master`` is deliberately absent: in production spark-submit supplies the
 cluster master; locally the SPARK_MASTER / SPARK_GRAFT_CPUS env defaults
@@ -87,6 +90,17 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--n-docs", type=int, default=20000)
     b.add_argument("--output", default=None, help="sink dir (default: temp)")
     _add_config_args(b)
+
+    c = sub.add_parser(
+        "compact",
+        help="rewrite all live commits of a snapshot table into one "
+             "(small-files maintenance; time travel preserved)",
+    )
+    c.add_argument("--table", required=True, help="snapshot table root")
+    c.add_argument("--target-partitions", type=int, default=None)
+    c.add_argument("--expire", action="store_true",
+                   help="ALSO delete pre-compaction manifests and unreferenced "
+                        "data dirs (destroys time travel to them)")
     return top
 
 
@@ -134,10 +148,28 @@ def cmd_bench(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    from py_image_toolkit_spark.session import build_session
+    from py_image_toolkit_spark.sources.tables import SnapshotTable
+
+    spark = build_session("compact-job")
+    tbl = SnapshotTable(args.table)
+    before = len(tbl.latest_snapshot()["data_dirs"]) if tbl.latest_snapshot() else 0
+    sid = tbl.compact(spark, target_partitions=args.target_partitions)
+    expired = tbl.expire_snapshots(keep_latest=1) if (args.expire and sid) else []
+    print(json.dumps({
+        "snapshot_id": sid, "dirs_before": before,
+        "dirs_after": 1 if sid else before, "expired_dirs": len(expired),
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     if args.cmd in ("extract", "resume"):
         return cmd_extract(args)
+    if args.cmd == "compact":
+        return cmd_compact(args)
     return cmd_bench(args)
 
 

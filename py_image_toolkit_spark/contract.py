@@ -1799,15 +1799,14 @@ def _canon_sql(col: str) -> str:
     regex chain ('g' = replace-all, Spark's default)."""
     head = (
         f"regexp_replace(lower(regexp_extract({col}, "
-        "'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)), ':(80|443)$', '')"
+        "'^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)), '(:(80|443))+$', '')"
     )
     rest = f"regexp_replace({col}, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '', 'g')"
     rest = f"regexp_replace({rest}, '#.*$', '', 'g')"
     rest = f"regexp_replace({rest}, '(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g')"
     rest = f"regexp_replace({rest}, '&&+', '&', 'g')"
-    rest = f"regexp_replace({rest}, '[?&]+$', '', 'g')"
     rest = f"regexp_replace({rest}, '\\?&', '?', 'g')"
-    rest = f"regexp_replace({rest}, '/$', '', 'g')"
+    rest = f"regexp_replace({rest}, '[/?&]+$', '', 'g')"
     return f"({head} || {rest})"
 
 

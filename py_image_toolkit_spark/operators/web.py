@@ -41,16 +41,19 @@ def canonical_url(url: Column) -> Column:
     trailing slash. Pure deterministic regex chain (Java and RE2 agree on
     every pattern used here)."""
     head = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
-    head = F.regexp_replace(head, r":(80|443)$", "")
+    # repeated group so pathological ':443:443' inputs still canonicalize to
+    # a fixed point (idempotence property-tested)
+    head = F.regexp_replace(head, r"(:(80|443))+$", "")
     rest = F.regexp_replace(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
     rest = F.regexp_replace(rest, r"#.*$", "")  # fragment
     rest = F.regexp_replace(rest, TRACKING_PARAM_RE, "")
-    # separator cleanup, in dependency order: collapse runs of '&' first,
-    # then strip a dangling '?'/'&' tail, then heal '?&' → '?'
+    # separator cleanup, in dependency order: collapse runs of '&', heal
+    # '?&' → '?', then strip ONE combined trailing run of /?& — a split
+    # slash-then-separator strip is not idempotent ('a/?' → 'a/' → 'a'
+    # needs two passes; the property test caught it)
     rest = F.regexp_replace(rest, r"&&+", "&")
-    rest = F.regexp_replace(rest, r"[?&]+$", "")
     rest = F.regexp_replace(rest, r"\?&", "?")
-    rest = F.regexp_replace(rest, r"/$", "")  # trailing slash
+    rest = F.regexp_replace(rest, r"[/?&]+$", "")
     return F.concat(head, rest)
 
 

@@ -31,6 +31,27 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST_RE = re.compile(r"manifest-(\d+)\.json$")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    key: str,
+    n_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Bucketed co-located table (J5): pay the shuffle ONCE at write time —
+    every later equi-join or aggregation on ``key`` between tables bucketed
+    with the same count is then exchange-free (Spark reads bucket i of both
+    sides into the same task). The big-join staging pattern at 100 TB:
+    bucket the corpus by url/doc_id when it lands, and the dedup/verify/
+    enrich joins that follow never reshuffle the text again
+    (tests/test_plan_contracts.py asserts the exchange-free plan)."""
+    w = df.write.bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.option("path", path).mode("overwrite").format("parquet").saveAsTable(table_name)
+
+
 def _json_safe(v):
     """Manifest stats must round-trip through JSON (timestamps → ISO with a
     space separator — lexicographic order == chronological order, so pruning

@@ -67,3 +67,41 @@ def test_job_bench_subcommand(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
     assert out["n_docs"] == 200 and out["docs_per_sec"] > 0
+
+
+def test_job_compact_subcommand(spark, pages_parquet, tmp_path):
+    """extract twice into the same table (two commits: initial + resumed
+    delta over a grown input) → compact --expire leaves one commit
+    directory holding all rows."""
+    from py_image_toolkit_spark.fixtures import pages_df
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS="4",
+               PYTHONPATH=_pyfiles_zip(tmp_path))
+    out_root = str(tmp_path / "compactions")
+    bigger = str(tmp_path / "pages60")
+    pages_df(spark, 60).write.parquet(bigger)  # superset of the 40-doc table
+    base = [sys.executable, os.path.join(ROOT, "job.py")]
+    r1 = subprocess.run(
+        base + ["extract", "--input", pages_parquet, "--output", out_root,
+                "--num-partitions", "4", "--rules", "thirds"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(tmp_path))
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    r2 = subprocess.run(
+        base + ["extract", "--input", bigger, "--output", out_root,
+                "--num-partitions", "4", "--rules", "thirds"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(tmp_path))
+    assert r2.returncode == 0, r2.stderr[-2000:]
+
+    rc = subprocess.run(
+        base + ["compact", "--table", out_root, "--target-partitions", "2",
+                "--expire"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(tmp_path))
+    assert rc.returncode == 0, rc.stderr[-2000:]
+    s = json.loads([l for l in rc.stdout.splitlines() if l.startswith("{")][-1])
+    assert s["dirs_before"] == 2 and s["dirs_after"] == 1
+    assert s["expired_dirs"] == 2
+
+    from py_image_toolkit_spark.sources.tables import SnapshotTable
+
+    tbl = SnapshotTable(out_root)
+    assert len(tbl.latest_snapshot()["data_dirs"]) == 1

@@ -116,3 +116,39 @@ def test_kmeans_trainer_broadcasts_centroids(emb):
     plan = plan_of(train_kmeans_centroids(emb, k=4, iters=1))
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan  # corpus × centroids via broadcast
+
+
+def test_bucketed_join_and_agg_are_exchange_free(spark, tmp_path):
+    """J5 co-location: two tables bucketed on the same key join WITHOUT any
+    Exchange (the shuffle was paid once at write time), and a groupBy on
+    the bucket key is likewise exchange-free."""
+    from py_image_toolkit_spark.sources.tables import write_bucketed
+
+    a = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    )
+    b = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("w")
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(a, "bkt_a", str(tmp_path / "a"), "doc_id", 4)
+        write_bucketed(b, "bkt_b", str(tmp_path / "b"), "doc_id", 4)
+        ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+
+        # tiny test tables would auto-broadcast (which disables bucketed
+        # reads); force the shuffle-join planner path — the production case
+        # this contract protects is two tables both too big to broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = ta.join(tb, "doc_id")
+        plan = plan_of(joined)
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        assert "Bucketed: true" in plan
+        assert joined.count() == 1000
+
+        agg = ta.groupBy("doc_id").agg(F.sum("v").alias("s"))
+        assert "Exchange hashpartitioning" not in plan_of(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")

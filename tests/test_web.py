@@ -80,3 +80,27 @@ def test_hash_sample_deterministic_and_unbiased(spark):
     # boundary rates
     assert hash_sample(df, 0.0).count() == 0
     assert hash_sample(df, 1.0).count() == 4000
+
+
+def test_canonical_url_is_idempotent(spark):
+    """canon(canon(u)) == canon(u) over adversarial inputs — a canonical
+    form that keeps changing would break url-keyed dedup joins."""
+    import random
+
+    rng = random.Random(17)
+    parts = ["?utm_source=a", "?x=1&utm_b=2", "#frag", "/", ":443", ":80",
+             "?utm_a=1&utm_b=2&utm_c=3", "?a=1&&b=2", "?", "&", ""]
+    urls = [
+        f"{'https' if i % 2 else 'http'}://HoSt-{i % 9}.Example"
+        f"{rng.choice(parts)}{rng.choice(parts)}"
+        for i in range(300)
+    ] + ["https://a.io/p?utm_a=1", "notaurl", "", "ftp://x.y:80/z/"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = canonical_url(F.col("url"))
+    out = df.select(
+        once.alias("c1"),
+        # apply the chain a second time over the first result
+        canonical_url(once).alias("c2"),
+    ).collect()
+    bad = [(r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
+    assert not bad, bad[:5]
