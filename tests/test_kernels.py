@@ -114,3 +114,75 @@ def test_blocks_are_disjoint_on_canvas():
             if laid:
                 assert canvas_h == prev_end + 2  # trailing separator line
     assert checked > 100  # non-vacuous across modes
+
+
+def test_segment_fast_path_differential_corpus():
+    """The fast scanner's dispatcher output must equal the stdlib parser on
+    EVERY fixture document (all encodings, records, junk variants) — the
+    fast path is a perf rewrite, not a semantic fork."""
+    from py_image_toolkit_spark.fixtures import page_row
+    from py_image_toolkit_spark.kernels.normalize import decode_html, strip_noncontent
+    from py_image_toolkit_spark.kernels.segment import (
+        PDF_MAGIC,
+        _segment_html_stdlib,
+        segment_html,
+    )
+
+    n_fast = 0
+    for i in range(1500):
+        r = page_row(i)
+        if r["html"] is None or bytes(r["html"]).startswith(PDF_MAGIC):
+            continue
+        dec = decode_html(bytes(r["html"]))
+        if not dec.success:
+            continue
+        s = strip_noncontent(dec.text)
+        got = segment_html(s)
+        ref = _segment_html_stdlib(s)
+        assert got == ref, f"divergence at doc {i}"
+        from py_image_toolkit_spark.kernels.segment import _segment_html_fast
+
+        if _segment_html_fast(s) is not None:
+            n_fast += 1
+    # the fast path must actually cover the bulk of the corpus
+    assert n_fast > 1000
+
+
+def test_segment_fast_path_differential_fuzz():
+    """Adversarial soup: random tag fragments, entities, quotes, '<!',
+    truncations — whatever path the dispatcher takes, output equals the
+    stdlib parser (fallback correctness is part of the contract)."""
+    import random
+
+    from py_image_toolkit_spark.kernels.segment import (
+        _segment_html_stdlib,
+        segment_html,
+    )
+
+    rng = random.Random(23)
+    atoms = [
+        "<p>", "</p>", "<div>", "</div>", "<a href='x'>", "<a>", "</a>",
+        "<br>", "<br/>", "<br />", "text ", "&amp;", "&#65;", "&bogus;",
+        "< notag", "<!doctype html>", "<!-- c -->", "<x-y>", "</x-y>",
+        "<a b=c>", "<a b=\"c>d\">", "<a b='it", "'s>", "<p", ">", "plain<",
+        "<A HREF=Z>", "</A>", "&lt;p&gt;", "\n", "  ", "<em>i</em>",
+        "<li>item</li>", "<td>c</td>", "<h1>t</h1>", "<p/>", "<div/>",
+    ]
+    for trial in range(400):
+        s = "".join(rng.choice(atoms) for _ in range(rng.randrange(0, 25)))
+        assert segment_html(s) == _segment_html_stdlib(s), f"trial {trial}: {s!r}"
+
+
+def test_segment_fast_path_handles_entities_and_links():
+    from py_image_toolkit_spark.kernels.segment import (
+        _segment_html_fast,
+        _segment_html_stdlib,
+    )
+
+    s = ("<body><p>Tom &amp; Jerry &#65; &lt;tag&gt;</p>"
+         "<p><a href='/x'>link one</a> rest</p></body>")
+    fast = _segment_html_fast(s)
+    assert fast is not None  # must take the fast path
+    assert fast == _segment_html_stdlib(s)
+    assert fast[0]["text"] == "Tom & Jerry A <tag>"
+    assert fast[1]["n_link_chars"] == len("link one")
