@@ -123,3 +123,39 @@ def test_parity_norm_modes(spark, mode, impl):
     aspect_ratio|fixed|none): every pipeline implementation matches the
     oracle byte-for-byte under each mode."""
     assert_parity(spark, 40, ExtractConfig(extract_impl=impl, norm_mode=mode))
+
+
+def test_parity_driver_pages_with_pdf_route(spark):
+    """The q27 driver gate is rows-only; close the loop here — the engine
+    over pages_from_documents (90% HTML / 10% Column-built PDF payloads)
+    must be byte-identical to the pure-Python oracle on the same pages,
+    which also proves the PDF payloads round-trip the kernel's BT..ET
+    parser exactly."""
+    import pandas as pd
+
+    from py_image_toolkit_spark.contract import pages_from_documents
+    from py_image_toolkit_spark.oracle.extractor import extract_pages
+    from py_image_toolkit_spark.plans.pipeline import extract
+    from py_image_toolkit_spark.testing import norm_spans
+
+    pages = pages_from_documents(spark, "/root/testdata/sf0.001").limit(120)
+    rows = pages.collect()
+    eng = extract(spark.createDataFrame(rows, pages.schema)).toPandas()
+    eng = eng.sort_values(["url", "rule"]).reset_index(drop=True)
+    eng["spans"] = eng["spans"].map(norm_spans)
+
+    ora = pd.DataFrame(
+        extract_pages(
+            ((r["url"], bytes(r["html"]), r["warc_ts"], r["lang"]) for r in rows),
+            ExtractConfig(),
+        )
+    )
+    ora["spans"] = ora["spans"].map(
+        lambda v: [(d["field"], int(d["start"]), int(d["end"])) for d in v]
+    )
+    ora = ora.sort_values(["url", "rule"]).reset_index(drop=True)
+    problems = diff_frames(eng, ora)
+    assert not problems, "driver-pages divergence:\n" + "\n".join(problems)
+    # both routes actually exercised
+    pdf_urls = {r["url"] for r in rows if bytes(r["html"]).startswith(b"%PDF-")}
+    assert pdf_urls and len(pdf_urls) < len(rows)
