@@ -240,9 +240,17 @@ class SnapshotTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         where: dict | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame | None:
         """DataFrame over exactly the committed files (None if no snapshot
         exists yet). ``snapshot_id`` time-travels to an older snapshot.
+
+        ``merge_schema=True`` unions the schemas of all live commits
+        (Iceberg-style additive evolution: a commit may add columns; older
+        rows read NULL for them). Off by default — schema merging reads
+        every file's footer up front, a real cost at 10^12-doc commit
+        counts; compaction rewrites the table under the merged schema, after
+        which plain reads see it for free.
 
         ``where={col: (lo, hi)}`` prunes whole commit directories whose
         recorded [min, max] for ``col`` does not intersect [lo, hi]
@@ -276,7 +284,10 @@ class SnapshotTable:
         if not dirs:
             return None
         paths = [os.path.join(self.data_dir, d) for d in dirs]
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     def compact(
         self,
@@ -302,7 +313,9 @@ class SnapshotTable:
         base = self.latest_snapshot()
         if base is None or not base["data_dirs"]:
             return None
-        df = self.read(spark, snapshot_id=base["snapshot_id"])
+        # merge_schema: the rewrite consolidates any additive schema
+        # evolution — afterwards plain reads see the union schema for free
+        df = self.read(spark, snapshot_id=base["snapshot_id"], merge_schema=True)
         if target_partitions:
             df = df.repartition(target_partitions)
         return self.append(

@@ -279,3 +279,29 @@ def test_expire_snapshots_gc(spark, tmp_path):
     live_dirs = set(tbl.latest_snapshot()["data_dirs"])
     on_disk = set(_os.listdir(tbl.data_dir))
     assert on_disk == live_dirs
+
+
+def test_schema_evolution_merge_and_compact(spark, tmp_path):
+    """Additive schema evolution: a later commit adds a column; plain reads
+    keep the base schema semantics, merge_schema=True surfaces the new
+    column (NULL for pre-evolution rows), and compaction bakes the merged
+    schema in for free afterward."""
+    from py_image_toolkit_spark.sources.tables import SnapshotTable
+
+    tbl = SnapshotTable(str(tmp_path / "evolve"))
+    tbl.append(spark.range(0, 5).withColumnRenamed("id", "v"))
+    tbl.append(
+        spark.range(5, 8).withColumnRenamed("id", "v").withColumn("extra", F.lit("x"))
+    )
+
+    merged = tbl.read(spark, merge_schema=True)
+    assert set(merged.columns) == {"v", "extra"}
+    got = {r["v"]: r["extra"] for r in merged.collect()}
+    assert got[0] is None and got[5] == "x" and len(got) == 8
+
+    # compaction consolidates the merged schema → PLAIN reads see it now
+    tbl.compact(spark, target_partitions=1)
+    plain = tbl.read(spark)
+    assert set(plain.columns) == {"v", "extra"}
+    after = {r["v"]: r["extra"] for r in plain.collect()}
+    assert after == got
