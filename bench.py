@@ -73,7 +73,12 @@ def run_bench(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
     # identical physical plans (co-tenant VM noise, verified by comparing
     # executed plans and a flat 80 s busy-loop calibration) — per-query
     # minima keep the recorded numbers about the ENGINE, not the neighbor.
-    trials = 2
+    # best-of-3: round-4 sessions measured whole-window swings where single
+    # queries inflate 6-18x on identical plans (q01 0.5 -> 9.0 s, q25 0.77 ->
+    # 4.9 s) while neighbors stay normal — two trials are not enough to
+    # reliably dodge a bad minute; three keep the recorded minimum about the
+    # engine at ~1.5x bench runtime
+    trials = 3
     sink = tempfile.mkdtemp(prefix="bench_sink_")
     try:
         pages_path = os.path.join(sink, "pages")
@@ -121,7 +126,7 @@ def run_bench(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
 
     total = round(sum(timings.values()), 3)
     result = {
-        "metric": "headline wall (best of 2): extraction pipeline + 9 operator queries",
+        "metric": "headline wall (best of 3): extraction pipeline + 9 operator queries",
         "value": total,
         "unit": "sec",
         "queries": timings,
