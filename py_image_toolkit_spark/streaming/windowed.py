@@ -19,6 +19,25 @@ from pyspark.sql import functions as F
 from py_image_toolkit_spark.operators.web import host_of
 
 
+def dedup_within_watermark(
+    pages: DataFrame,
+    key_cols: tuple[str, ...] = ("url",),
+    watermark: str = "10 minutes",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Streaming exact dedup via the BUILT-IN dropDuplicatesWithinWatermark:
+    state for a key is held only within the watermark horizon, so re-crawls
+    of the same url inside the window are suppressed and state is bounded
+    by construction — the engine-native complement to
+    streaming/stateful.py's applyInPandasWithState dedup (which adds
+    custom winner election and TTL semantics the built-in cannot express).
+    Use this form when "first arrival wins within a bounded horizon" is the
+    whole requirement: no Python state function, full Tungsten path."""
+    return pages.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def windowed_host_counts(
     pages: DataFrame,
     window: str = "10 minutes",

@@ -88,3 +88,35 @@ def test_windowed_counts_batch_mode(spark):
         ("2024-01-01 10:10:00", "a.io"): 1,
         ("2024-01-01 10:00:00", "b.io"): 1,
     }
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    """Built-in bounded-state streaming dedup: duplicate urls inside the
+    watermark horizon are suppressed; each unique url is emitted once."""
+    import os
+
+    from py_image_toolkit_spark.streaming.windowed import dedup_within_watermark
+
+    input_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(input_dir)
+    _rows(
+        spark,
+        [("a.io", "10:01"), ("a.io", "10:02"), ("b.io", "10:03"), ("a.io", "10:04")],
+    ).withColumn("url", F.regexp_replace("url", r"/p/\d+", "/p/X")).coalesce(
+        1
+    ).write.mode("append").parquet(input_dir)
+
+    stream = spark.readStream.schema(_SCHEMA).format("parquet").load(input_dir)
+    q = (
+        dedup_within_watermark(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    urls = sorted(r["url"] for r in spark.read.parquet(out_dir).collect())
+    assert urls == ["https://a.io/p/X", "https://b.io/p/X"]
