@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import re
 import zlib
+from html import unescape
 from html.parser import HTMLParser
 
 # Tags that delimit blocks ("subjects"). Inline tags flow into the enclosing
@@ -137,8 +138,6 @@ def _segment_html_fast(s: str) -> list[dict] | None:
     State machine is a line-for-line transliteration of _BlockSegmenter."""
     if _CDATA_RE.search(s):
         return None  # html.parser switches to CDATA mode inside these
-    from html import unescape
-
     blocks: list[dict] = []
     stack: list[str] = []
     pieces: list[tuple[str, bool]] = []
