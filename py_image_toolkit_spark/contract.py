@@ -1955,6 +1955,41 @@ def q41(spark, sf_dir):
 
 
 @register(
+    "q44_decontamination",
+    """
+    WITH ctoks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    cgrams AS (
+      SELECT doc_id, md5(array_to_string(arr[i:i+4], ' ')) AS g
+      FROM ctoks, UNNEST(generate_series(1, len(arr) - 4)) AS t(i)
+      WHERE len(arr) >= 5
+    ),
+    egrams AS (SELECT DISTINCT g FROM cgrams WHERE doc_id % 25 = 0)
+    SELECT doc_id, COUNT(*) AS n_ngrams,
+           SUM(CASE WHEN g IN (SELECT g FROM egrams) THEN 1 ELSE 0 END) AS contaminated_ngrams,
+           CAST(FLOOR(SUM(CASE WHEN g IN (SELECT g FROM egrams) THEN 1 ELSE 0 END)
+                * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS contaminated_frac_micro,
+           (FLOOR(SUM(CASE WHEN g IN (SELECT g FROM egrams) THEN 1 ELSE 0 END)
+                * 1000000.0 / COUNT(*) + 0.5) >= 100000) AS flagged
+    FROM cgrams GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q44(spark, sf_dir):
+    """Benchmark decontamination (train/test leakage): per-doc 5-gram
+    overlap against an eval set, broadcast-probed so the corpus never
+    shuffles for the membership test (operators/dedup.py
+    contamination_stats). The eval set is every 25th document, so those
+    docs score 100% contaminated and everything else attests the negative
+    path — both branches exercised with real rows."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.contamination_stats(
+        d, d.filter(F.col("doc_id") % 25 == 0), n=5
+    ).orderBy("doc_id")
+
+
+@register(
     "q42_pii_redaction",
     """
     WITH pdocs AS (

@@ -332,6 +332,57 @@ def shared_ngram_stats(
     )
 
 
+def contamination_stats(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    flag_min_micro: int = 100_000,
+) -> DataFrame:
+    """Benchmark decontamination: per-document overlap with an evaluation
+    set's n-grams (train/test leakage detection — documents carrying eval
+    material must be dropped or flagged before training).
+
+    Scale shape: the eval set is benchmark-sized (thousands of documents),
+    so its distinct n-gram table is broadcast and corpus grams probe it
+    with a broadcast LEFT SEMI-style mark — the corpus-sized table never
+    shuffles for the membership test, only for its own per-doc groupBy.
+    Returns (id, n_ngrams, contaminated_ngrams, contaminated_frac_micro,
+    flagged); documents shorter than ``n`` tokens emit no row."""
+    grams = ngram_pos_df(corpus, id_col, text_col, n)
+    eval_grams = (
+        ngram_pos_df(eval_set, id_col, text_col, n)
+        .select("g")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        grams.join(F.broadcast(eval_grams), "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("contaminated_ngrams"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "contaminated_ngrams",
+            F.floor(
+                F.col("contaminated_ngrams") * 1_000_000.0 / F.col("n_ngrams")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("contaminated_frac_micro"),
+        )
+        .withColumn(
+            "flagged", F.col("contaminated_frac_micro") >= flag_min_micro
+        )
+    )
+
+
 def dot_cosine(a: Column, b: Column) -> Column:
     """Cosine of two array<float/double> columns via a sequential left fold
     (F.aggregate) — deterministic summation order, identical across engines."""

@@ -370,3 +370,26 @@ def test_shared_ngram_stats_finds_boilerplate(spark):
     assert out[3]["shared_ngrams"] == 0
     assert out[1]["n_ngrams"] == len(rows[0][1].split()) - 4
     assert 0 < out[1]["shared_frac_micro"] < 1_000_000
+
+
+def test_contamination_stats_flags_leaked_docs(spark):
+    from py_image_toolkit_spark.operators.dedup import contamination_stats
+
+    eval_text = "the capital of france is paris said the model"
+    rows = [
+        (1, "benign words alpha beta gamma delta epsilon zeta"),
+        (2, "prefix words then " + eval_text + " suffix tail here"),
+        (3, eval_text),  # verbatim eval doc -> 100% contaminated
+        (4, "tiny"),  # < n tokens -> no row
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_df = spark.createDataFrame([(100, eval_text)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in contamination_stats(corpus, eval_df, n=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["contaminated_ngrams"] == 0 and not out[1]["flagged"]
+    assert out[3]["contaminated_frac_micro"] == 1_000_000 and out[3]["flagged"]
+    # the embedded copy contributes exactly the eval text's 5 shared 5-grams
+    assert out[2]["contaminated_ngrams"] == 5 and out[2]["flagged"]
+    # the membership probe is a broadcast, never a shuffled join of the corpus
+    plan = contamination_stats(corpus, eval_df, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
