@@ -1990,6 +1990,99 @@ def q44(spark, sf_dir):
 
 
 @register(
+    "q45_embedding_dedup_clusters",
+    """
+    WITH RECURSIVE coded AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        CAST((CASE WHEN embedding[1]  >= 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN embedding[9]  >= 0 THEN 2 ELSE 0 END)
+           + (CASE WHEN embedding[17] >= 0 THEN 4 ELSE 0 END)
+           + (CASE WHEN embedding[25] >= 0 THEN 8 ELSE 0 END) AS INTEGER) AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM coded a JOIN coded b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE FLOOR(list_dot_product(a.v, b.v)
+            / (SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))
+            * 1000000 + 0.5) >= 400000
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b AS u, id_a AS v FROM pairs),
+    reach(id, lbl) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.id = e.v
+    )
+    SELECT id AS doc_id, MIN(lbl) AS component_id
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+)
+def q45(spark, sf_dir):
+    """The dedup last mile composed over the EMBEDDING pair family:
+    cluster_pairs (large-star/small-star) on q29's sign-LSH near-dup pairs
+    — one cluster_pairs implementation serves every pair producer (text
+    MinHash, SimHash, embeddings) because they share the (id_a, id_b)
+    contract. WITH RECURSIVE min-label closure as the oracle."""
+    from py_image_toolkit_spark.operators.cluster import cluster_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = D.embedding_neardup_pairs(emb, min_cos_micro=400_000)
+    return cluster_pairs(pairs).orderBy("doc_id")
+
+
+@register(
+    "q46_ann_quantized_topk",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+    s AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+          FROM v),
+    q AS (SELECT vec_id,
+                 CASE WHEN scale > 0
+                      THEN list_transform(dv, x -> CAST(FLOOR(x / scale + 0.5) AS DOUBLE))
+                      ELSE list_transform(dv, x -> 0.0) END AS qv
+          FROM s),
+    probes AS (SELECT vec_id AS probe_id, qv AS pv FROM q WHERE vec_id < 5),
+    corpus AS (SELECT vec_id AS corpus_id, qv AS cv FROM q WHERE vec_id >= 5),
+    scored AS (
+      SELECT probe_id, corpus_id,
+        CAST(FLOOR(list_dot_product(pv, cv)
+             / (SQRT(list_dot_product(pv, pv)) * SQRT(list_dot_product(cv, cv)))
+             * 1000000 + 0.5) AS BIGINT) AS cos_micro
+      FROM probes, corpus
+    )
+    SELECT probe_id, rank, corpus_id, cos_micro FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_micro DESC, corpus_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY probe_id, rank
+    """,
+)
+def q46(spark, sf_dir):
+    """ANN search over the int8-QUANTIZED vectors (q40's output actually
+    used): cosine on quantized coordinates — every dot product is a sum of
+    exact small-int products, bit-reproducible across engines; cosine's
+    scale-invariance makes the per-vector quantization scale drop out, so
+    only the rounding error separates this ranking from q22's float
+    baseline."""
+    from py_image_toolkit_spark.operators.similarity import (
+        cosine_topk,
+        quantize_embeddings_int8,
+    )
+
+    q = quantize_embeddings_int8(t(spark, sf_dir, "embeddings"))
+    qd = q.select(
+        "vec_id",
+        F.transform(F.col("qvec"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    return cosine_topk(
+        qd.filter(F.col("vec_id") >= 5), qd.filter(F.col("vec_id") < 5), k=10
+    ).orderBy("probe_id", "rank")
+
+
+@register(
     "q42_pii_redaction",
     """
     WITH pdocs AS (
