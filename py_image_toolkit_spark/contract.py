@@ -1837,7 +1837,7 @@ def q37(spark, sf_dir):
     WITH {_URLS_SQL}
     SELECT lower(regexp_replace(regexp_extract(url,
              '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$', '')) AS host,
-           COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            COUNT(DISTINCT lang) AS n_langs,
            CAST(FLOOR(SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)
                 * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS short_share_micro
@@ -1926,7 +1926,7 @@ def q40(spark, sf_dir):
     ),
     shared AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2)
     SELECT doc_id, COUNT(*) AS n_ngrams,
-           SUM(CASE WHEN g IN (SELECT g FROM shared) THEN 1 ELSE 0 END) AS shared_ngrams,
+           CAST(SUM(CASE WHEN g IN (SELECT g FROM shared) THEN 1 ELSE 0 END) AS BIGINT) AS shared_ngrams,
            CAST(FLOOR(SUM(CASE WHEN g IN (SELECT g FROM shared) THEN 1 ELSE 0 END)
                 * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS shared_frac_micro
     FROM grams GROUP BY doc_id ORDER BY doc_id
@@ -1968,7 +1968,7 @@ def q41(spark, sf_dir):
     ),
     egrams AS (SELECT DISTINCT g FROM cgrams WHERE doc_id % 25 = 0)
     SELECT doc_id, COUNT(*) AS n_ngrams,
-           SUM(CASE WHEN g IN (SELECT g FROM egrams) THEN 1 ELSE 0 END) AS contaminated_ngrams,
+           CAST(SUM(CASE WHEN g IN (SELECT g FROM egrams) THEN 1 ELSE 0 END) AS BIGINT) AS contaminated_ngrams,
            CAST(FLOOR(SUM(CASE WHEN g IN (SELECT g FROM egrams) THEN 1 ELSE 0 END)
                 * 1000000.0 / COUNT(*) + 0.5) AS BIGINT) AS contaminated_frac_micro,
            (FLOOR(SUM(CASE WHEN g IN (SELECT g FROM egrams) THEN 1 ELSE 0 END)

@@ -26,17 +26,28 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm_cell(v):
+    """Canonicalize a cell to a (type-tag, value) pair.
+
+    Dtype-strict on purpose: the driver hashes a canonical serialization of
+    each value, so an int64 ``52037`` and a float64 ``52037.0`` MUST compare
+    unequal here even though Python's ``==`` says they are equal (DuckDB
+    promotes ``SUM(INTEGER)`` to HUGEINT which lands in pandas as float64 —
+    the exact round-4 q38/q41/q44 failure mode this replica used to mask)."""
     if v is None:
         return None
+    if hasattr(v, "item"):  # numpy scalar -> python scalar first
+        return _norm_cell(v.item())
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        return round(v, 9)
-    if hasattr(v, "item"):  # numpy scalar
-        return _norm_cell(v.item())
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
-    return v
+        return ("f", round(v, 9))
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return ("l", tuple(_norm_cell(x) for x in v))
+    return (type(v).__name__[:1], v)
 
 
 def _canon(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
