@@ -35,7 +35,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable SQL equivalents (omitted only for q27, the full
-    extraction pipeline — byte-parity vs the in-repo oracle is enforced by
-    ``python -m pytest tests/test_engine_parity.py`` instead)."""
-    return dict(contract.ORACLE_SQL)
+    """DuckDB-runnable SQL equivalents for every queries() entry.
+
+    q27 (the full extraction pipeline) is not SQL-expressible, so its oracle
+    is a golden parquet: the pure-Python reference extractor (the
+    byte-parity truth, tests/test_engine_parity.py) is run over the same
+    deterministic pages input and materialized; DuckDB reads it via
+    read_parquet. The golden is fingerprinted against documents.parquet and
+    rebuilt automatically when the test data changes."""
+    from py_image_toolkit_spark.golden import q27_oracle_sql
+
+    out = dict(contract.ORACLE_SQL)
+    out["q27_extract_pipeline"] = q27_oracle_sql("/root/testdata/sf0.01")
+    return out

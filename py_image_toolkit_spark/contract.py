@@ -2219,4 +2219,6 @@ def q27(spark, sf_dir):
     from py_image_toolkit_spark.plans.pipeline import extract
 
     out = extract(pages_from_documents(spark, sf_dir))
-    return out.withColumn("spans", F.to_json(F.col("spans")))
+    return out.withColumn("spans", F.to_json(F.col("spans"))).withColumn(
+        "warc_ts", F.col("warc_ts").cast("string")
+    )

@@ -17,16 +17,20 @@ def main(only: list[str]) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connection(SF_DIR)
     bad = 0
+    from py_image_toolkit_spark.golden import q27_oracle_sql
+
+    oracles = dict(contract.ORACLE_SQL)
+    oracles["q27_extract_pipeline"] = q27_oracle_sql(SF_DIR)
     for name, fn in contract.QUERIES.items():
         if only and not any(o in name for o in only):
             continue
         t0 = time.time()
-        if name not in contract.ORACLE_SQL:
+        if name not in oracles:
             n = fn(spark, SF_DIR).count()
             print(f"{name}: rows-only ({n} rows) [{time.time()-t0:.1f}s]", flush=True)
             continue
         try:
-            problems = compare_query(spark, con, fn, contract.ORACLE_SQL[name], SF_DIR)
+            problems = compare_query(spark, con, fn, oracles[name], SF_DIR)
         finally:
             contract.release_persists()
         status = "OK" if not problems else "FAIL"

@@ -6,8 +6,19 @@ import pytest
 from py_image_toolkit_spark import contract
 from py_image_toolkit_spark.oracle_compare import compare_query, duck_connection
 
-_WITH_ORACLE = sorted(n for n in contract.QUERIES if n in contract.ORACLE_SQL)
-_ROWS_ONLY = sorted(n for n in contract.QUERIES if n not in contract.ORACLE_SQL)
+_GOLDEN_ORACLES = {"q27_extract_pipeline"}  # oracle = materialized golden parquet
+_WITH_ORACLE = sorted(
+    n for n in contract.QUERIES if n in contract.ORACLE_SQL or n in _GOLDEN_ORACLES
+)
+_ROWS_ONLY = sorted(n for n in contract.QUERIES if n not in _WITH_ORACLE)
+
+
+def _oracle_sql(name: str, sf_dir: str) -> str:
+    if name in _GOLDEN_ORACLES:
+        from py_image_toolkit_spark.golden import q27_oracle_sql
+
+        return q27_oracle_sql(sf_dir)
+    return contract.ORACLE_SQL[name]
 
 
 @pytest.fixture(scope="module")
@@ -21,7 +32,7 @@ def duck(sf_dir):
 def test_query_matches_oracle(spark, duck, sf_dir, name):
     try:
         problems = compare_query(
-            spark, duck, contract.QUERIES[name], contract.ORACLE_SQL[name], sf_dir
+            spark, duck, contract.QUERIES[name], _oracle_sql(name, sf_dir), sf_dir
         )
     finally:
         contract.release_persists()
