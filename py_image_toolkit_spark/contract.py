@@ -2083,6 +2083,73 @@ def q46(spark, sf_dir):
 
 
 @register(
+    "q47_ann_ivf_quantized",
+    f"""
+    WITH {_kmeans_cte(k=8, iters=2)},
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv FROM embeddings),
+    s AS (SELECT vec_id, dv, list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+          FROM v),
+    q AS (SELECT vec_id,
+                 CASE WHEN scale > 0
+                      THEN list_transform(dv, x -> CAST(FLOOR(x / scale + 0.5) AS DOUBLE))
+                      ELSE list_transform(dv, x -> 0.0) END AS qv
+          FROM s),
+    corpus AS (SELECT vec_id AS corpus_id, qv AS cv FROM q WHERE vec_id >= 5),
+    probes AS (SELECT vec_id AS probe_id, qv AS pv FROM q WHERE vec_id < 5),
+    corpus_cells AS (
+      SELECT corpus_id, cv, centroid_id FROM (
+        SELECT corpus_id, cv, centroid_id,
+          ROW_NUMBER() OVER (PARTITION BY corpus_id ORDER BY
+            {_COS_SQL.format(a="cv", b="nv")} DESC, centroid_id) AS r
+        FROM corpus, tcents
+      ) WHERE r = 1
+    ),
+    probe_cells AS (
+      SELECT probe_id, pv, centroid_id FROM (
+        SELECT probe_id, pv, centroid_id,
+          ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY
+            {_COS_SQL.format(a="pv", b="nv")} DESC, centroid_id) AS r
+        FROM probes, tcents
+      ) WHERE r <= 2
+    ),
+    scored AS (
+      SELECT probe_id, corpus_id, {_COS_SQL.format(a="pv", b="cv")} AS cos_micro
+      FROM probe_cells JOIN corpus_cells USING (centroid_id)
+    )
+    SELECT probe_id, rank, corpus_id, cos_micro FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_micro DESC, corpus_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY probe_id, rank
+    """,
+)
+def q47(spark, sf_dir):
+    """The full scale-path ANN composition, end to end: int8 quantization
+    (q40) → trained IVF coarse centroids (q35's seeded Lloyd's over the raw
+    corpus) → cell-equijoin IVF search (q32's plan shape) executed over the
+    QUANTIZED vectors. This is the 100 TB story in one query — 4-8× smaller
+    index bytes, probes touch only nprobe cells via a centroid_id equijoin,
+    and the corpus × K assignment dot products never leave the map side.
+    q46 remains the brute-force recall reference on the same quantized
+    column. Cosine over int-valued doubles is exact (sums ≪ 2^53), so the
+    ranking hash-matches DuckDB bit-for-bit."""
+    emb = t(spark, sf_dir, "embeddings")
+    qd = S.quantize_embeddings_int8(emb).select(
+        "vec_id",
+        F.transform(F.col("qvec"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = S.train_kmeans_centroids(emb.filter(F.col("vec_id") >= 5), k=8, iters=2)
+    return S.ivf_flat_topk(
+        qd.filter(F.col("vec_id") >= 5),
+        qd.filter(F.col("vec_id") < 5),
+        cents,
+        k=10,
+        nprobe=2,
+    ).orderBy("probe_id", "rank")
+
+
+@register(
     "q42_pii_redaction",
     """
     WITH pdocs AS (

@@ -118,6 +118,34 @@ def test_kmeans_trainer_broadcasts_centroids(emb):
     assert "BroadcastExchange" in plan  # corpus × centroids via broadcast
 
 
+def test_quantized_ivf_composition_plan(emb):
+    """q47's composition (quantize → trained centroids → IVF search) must
+    keep the scale shape: the probe↔corpus match is a centroid_id equijoin,
+    never a nested-loop over the corpus."""
+    from py_image_toolkit_spark.operators.similarity import (
+        ivf_flat_topk,
+        quantize_embeddings_int8,
+        train_kmeans_centroids,
+    )
+
+    qd = quantize_embeddings_int8(emb).select(
+        "vec_id",
+        F.transform(F.col("qvec"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    cents = train_kmeans_centroids(emb.filter("vec_id >= 5"), k=4, iters=1)
+    plan = plan_of(
+        ivf_flat_topk(
+            qd.filter("vec_id >= 5"), qd.filter("vec_id < 5"), cents, k=5, nprobe=2
+        )
+    )
+    assert "CartesianProduct" not in plan
+    # the probe↔corpus match is a HASH equijoin on centroid_id — the only
+    # nested-loop joins allowed are the intentional corpus × broadcast(tiny
+    # centroid table) assignment scans, never probe × corpus
+    assert "BroadcastHashJoin [centroid_id" in plan
+    assert plan.count("BroadcastExchange") >= 2
+
+
 def test_bucketed_join_and_agg_are_exchange_free(spark, tmp_path):
     """J5 co-location: two tables bucketed on the same key join WITHOUT any
     Exchange (the shuffle was paid once at write time), and a groupBy on
