@@ -153,14 +153,19 @@ def cmd_compact(args: argparse.Namespace) -> int:
     from py_image_toolkit_spark.sources.tables import SnapshotTable
 
     spark = build_session("compact-job")
-    tbl = SnapshotTable(args.table)
-    before = len(tbl.latest_snapshot()["data_dirs"]) if tbl.latest_snapshot() else 0
-    sid = tbl.compact(spark, target_partitions=args.target_partitions)
-    expired = tbl.expire_snapshots(keep_latest=1) if (args.expire and sid) else []
-    print(json.dumps({
-        "snapshot_id": sid, "dirs_before": before,
-        "dirs_after": 1 if sid else before, "expired_dirs": len(expired),
-    }))
+    try:
+        tbl = SnapshotTable(args.table)
+        before = len(tbl.latest_snapshot()["data_dirs"]) if tbl.latest_snapshot() else 0
+        sid = tbl.compact(spark, target_partitions=args.target_partitions)
+        expired = tbl.expire_snapshots(keep_latest=1) if (args.expire and sid) else []
+        snap = tbl.latest_snapshot()
+        after = len(snap["data_dirs"]) if snap else 0
+        print(json.dumps({
+            "snapshot_id": sid, "dirs_before": before,
+            "dirs_after": after, "expired_dirs": len(expired),
+        }))
+    finally:
+        spark.stop()
     return 0
 
 

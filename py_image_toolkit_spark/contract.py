@@ -1103,14 +1103,15 @@ def _simhash_cte(bits: int = 16, with_docs: bool = True, toks_name: str = "toks"
     )
     sim = " + ".join(f"CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(bits))
     head = f"{_DOCS_SQL}," if with_docs else ""
+    n_nibs = (bits + 3) // 4
+    nib_cols = ", ".join(f"{nib_case(n)} AS nib{n}" for n in range(n_nibs))
     return f"""{head}
     {toks_name} AS (
       SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok
       FROM docs
     ),
     nibs AS (
-      SELECT doc_id, {nib_case(0)} AS nib0, {nib_case(1)} AS nib1,
-             {nib_case(2)} AS nib2, {nib_case(3)} AS nib3
+      SELECT doc_id, {nib_cols}
       FROM {toks_name}
     ),
     votes AS (SELECT doc_id, {votes} FROM nibs GROUP BY doc_id),
@@ -1310,7 +1311,12 @@ def _pair_graph(spark, sf_dir) -> DataFrame:
     shingles = D.shingle_df(docs, k=3)
     sigs = _persist(D.minhash_signatures(shingles, num_hashes=8))
     mh = D.lsh_band_pairs(sigs, num_hashes=8, rows_per_band=2)
-    sh = D.simhash_close_pairs(D.simhash_df(docs), max_hamming=2)
+    # 32-bit SimHash here (vs q21/q28's 16-bit fixture setting): at 16 bits
+    # the hamming-2 birthday-collision density degenerates the pair graph
+    # toward one giant component as the corpus grows, which makes q36's
+    # survivor set a weak demonstration — 32 bits keeps components realistic
+    # at every bundled sf while remaining the same operator
+    sh = D.simhash_close_pairs(D.simhash_df(docs, bits=32), max_hamming=2, bits=32)
     return mh.select("id_a", "id_b").unionByName(sh.select("id_a", "id_b"))
 
 
@@ -1337,7 +1343,7 @@ def _cc_sql_prefix(num_hashes: int = 8, rows_per_band: int = 2) -> str:
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
     ),
-    {_simhash_cte(with_docs=False, toks_name="stoks")},
+    {_simhash_cte(bits=32, with_docs=False, toks_name="stoks")},
     sh_pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sims a JOIN sims b ON a.doc_id < b.doc_id
@@ -1388,13 +1394,12 @@ def q36(spark, sf_dir):
     decision step of skip-if-exists, resize.py:158-162). Survivors =
     min-id member of every component + documents never seen in a pair.
 
-    Scale note (honest): the verdict-specified q20 ∪ q28 input includes
-    16-bit SimHash hamming-2 pairs, whose accidental-collision density
-    grows quadratically with corpus size (birthday effect) — at sf0.1 the
-    pair graph degenerates toward one giant component and very few
-    survivors. The oracle applies the identical graph, so the gate stays
-    exact; production corpora must scale SimHash bits with corpus size
-    (64-bit at web scale) before feeding cluster_pairs."""
+    Scale note: the pair graph uses 32-bit SimHash (q21/q28 demonstrate the
+    16-bit fixture setting) because hamming-2 accidental-collision density
+    grows quadratically with corpus size (birthday effect) — 16 bits
+    degenerates toward one giant component at sf0.1. Production corpora
+    scale bits with corpus size (64-bit at web scale); the operator takes
+    ``bits`` directly."""
     from py_image_toolkit_spark.operators.cluster import apply_dedup, cluster_pairs
 
     corpus = _docs_df(spark, sf_dir)

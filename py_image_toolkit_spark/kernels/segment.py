@@ -130,7 +130,7 @@ _FAST_TAG_RE = re.compile(
     # bracketed internal subsets fall back (html.parser scans them specially)
     r")>"
 )
-_CDATA_RE = re.compile(r"<(script|style)", re.IGNORECASE)
+_CDATA_RE = re.compile(r"<(script|style)(?![a-zA-Z0-9-])", re.IGNORECASE)
 
 
 def _segment_html_fast(s: str) -> list[dict] | None:

@@ -21,10 +21,11 @@ instead of per-file.
 Scale posture (100 TB): each round shuffles the current edge set on its
 node key — edge volume only ever shrinks (large-star caps it at the
 original size; small-star contracts toward stars), so the first round
-bounds the cost. Rounds are lineage-truncated via localCheckpoint; on a
-real cluster use a reliable checkpoint dir or stage each round to a
-snapshot table (sources/tables.py) so executor loss cannot replay the
-whole chain.
+bounds the cost. Rounds are lineage-truncated at every boundary; when the
+SparkContext has a checkpoint dir configured (``setCheckpointDir``) the
+truncation is a RELIABLE checkpoint so executor loss cannot replay or
+fail the chain, otherwise localCheckpoint (explicit override via the
+``checkpoint`` parameter).
 """
 
 from __future__ import annotations
@@ -71,11 +72,40 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+def _checkpointer(df: DataFrame, mode: str):
+    """Round-boundary lineage truncation. ``local`` = localCheckpoint (fast,
+    but executor loss is unrecoverable — fine in local mode / tests);
+    ``reliable`` = df.checkpoint() to the context's checkpoint dir (survives
+    executor loss — what a 1000-executor run wants); ``auto`` picks
+    ``reliable`` whenever ``sparkContext.setCheckpointDir`` has been called,
+    else ``local``."""
+    if mode == "auto":
+        sc = df.sparkSession.sparkContext
+        mode = "reliable" if sc._jsc.sc().getCheckpointDir().isDefined() else "local"
+    if mode == "reliable":
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
+def _count_and_sig(e: DataFrame) -> tuple[int, int]:
+    """ONE action per round: edge count + an order-insensitive set signature
+    (XOR of per-edge xxhash64 — overflow-free under ANSI, commutative, and
+    the edge set is distinct so set semantics suffice). Equal sets always
+    produce equal signatures, so (count, sig) equality is a near-certain
+    convergence signal; the exact exceptAll check runs only after the
+    signature matches, guarding against hash-collision false positives."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("u", "v")).alias("s")
+    ).first()
+    return int(row["n"]), (0 if row["s"] is None else int(row["s"]))
+
+
 def cluster_pairs(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    checkpoint: str = "auto",
 ) -> DataFrame:
     """Connected components of the undirected pair graph.
 
@@ -84,25 +114,29 @@ def cluster_pairs(
     node's component (the canonical member maps to itself).
 
     Iterates large-star/small-star to the star-graph fixpoint (provably
-    min-rooted); convergence is detected by edge-set equality (distinct
-    sets: equal counts + empty exceptAll). Raises if ``max_iter`` rounds do
-    not converge — the alternation needs O(log² n) rounds worst-case, so 25
-    covers any graph this engine will ever see; a silent partial clustering
-    would under-deduplicate, which must never happen silently."""
-    e = (
+    min-rooted); convergence is detected by a one-action (count, hash-sum)
+    signature per round, confirmed by an exact exceptAll only when the
+    signature repeats. Raises if ``max_iter`` rounds do not converge — the
+    alternation needs O(log² n) rounds worst-case, so 25 covers any graph
+    this engine will ever see; a silent partial clustering would
+    under-deduplicate, which must never happen silently.
+
+    ``checkpoint``: ``auto`` (reliable checkpoint when the SparkContext has
+    a checkpoint dir, else localCheckpoint) / ``reliable`` / ``local``."""
+    e = _checkpointer(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        checkpoint,
     )
-    prev_cnt = e.count()
+    prev = _count_and_sig(e)
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint()
-        cnt = e2.count()
-        if cnt == prev_cnt and e2.exceptAll(e).isEmpty():
+        e2 = _checkpointer(_small_star(_large_star(e)), checkpoint)
+        cur = _count_and_sig(e2)
+        if cur == prev and e2.exceptAll(e).isEmpty():
             e = e2
             break
-        e, prev_cnt = e2, cnt
+        e, prev = e2, cur
     else:
         raise RuntimeError(f"cluster_pairs did not converge in {max_iter} rounds")
     # fixpoint edges are (member, root); roots map to themselves

@@ -188,20 +188,24 @@ def jaccard_pairs(
 
 
 def simhash_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
-    """16-bit SimHash: per word token, bits from the first 4 md5 nibbles;
-    per-bit majority vote over the document."""
+    """SimHash over word tokens: bit b comes from md5 nibble b//4; per-bit
+    majority vote over the document. ``bits`` ≤ 128 (md5 width); corpora
+    must scale bits with size (birthday collisions at hamming ≤ 2 grow
+    quadratically — 16 bits is a small-fixture setting, web scale wants
+    64)."""
+    n_nibs = (bits + 3) // 4
     toks = df.select(F.col(id_col), F.explode(tokens_array(F.col(text_col))).alias("tok"))
     h = _md5(F.col("tok"))
     nib_src = "0123456789abcdef"
-    nibble_val = [None] * 4
-    for n in range(4):
+    nibble_val = [None] * n_nibs
+    for n in range(n_nibs):
         c = F.substring(h, n + 1, 1)
         v = F.lit(0)
         for digit, ch in enumerate(nib_src):
             v = F.when(c == ch, digit).otherwise(v)
         nibble_val[n] = v
     toks = toks.select(
-        id_col, *[nibble_val[n].alias(f"nib{n}") for n in range(4)]
+        id_col, *[nibble_val[n].alias(f"nib{n}") for n in range(n_nibs)]
     )
     aggs = []
     for b in range(bits):

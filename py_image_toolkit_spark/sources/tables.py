@@ -202,11 +202,16 @@ class SnapshotTable:
                 # this commit; prior directories stay on disk for time travel
                 dirs = [f"commit-{token}"]
                 commit_stats = {}
+                commit_schemas = {}
             else:
                 dirs = (prev["data_dirs"] if prev else []) + [f"commit-{token}"]
                 commit_stats = dict(prev.get("commit_stats", {})) if prev else {}
+                commit_schemas = dict(prev.get("commit_schemas", {})) if prev else {}
             if stats:
                 commit_stats[f"commit-{token}"] = stats
+            # per-commit column sets (manifest-only): lets read() detect a
+            # heterogeneous lineage without touching any file footer
+            commit_schemas[f"commit-{token}"] = list(df.schema.names)
             manifest = {
                 "snapshot_id": snapshot_id,
                 "data_dirs": dirs,
@@ -215,6 +220,7 @@ class SnapshotTable:
                 "schema": df.schema.jsonValue(),
                 "meta": meta or {},
                 "commit_stats": commit_stats,
+                "commit_schemas": commit_schemas,
             }
             target = os.path.join(self.snap_dir, f"manifest-{snapshot_id}.json")
             # tmp-write + hard-link publish: link(2) is atomic for readers
@@ -283,6 +289,24 @@ class SnapshotTable:
             ]
         if not dirs:
             return None
+        if not merge_schema:
+            # Guard against silent column loss: without mergeSchema, Spark
+            # samples ONE file's schema for the whole scan, so a lineage
+            # whose commits disagree on columns (e.g. an append after an
+            # additive schema change) would silently drop or null columns
+            # depending on which file wins. Detect it manifest-only (no
+            # footer reads) and fail with the remedy. Tables written before
+            # commit_schemas existed have no per-commit record — those read
+            # as before.
+            cs = snap.get("commit_schemas", {})
+            col_sets = {tuple(cs[d]) for d in dirs if d in cs}
+            if len(col_sets) > 1:
+                raise ValueError(
+                    f"SnapshotTable at {self.root}: live commits carry "
+                    f"{len(col_sets)} different column sets "
+                    f"{sorted(col_sets)}; pass merge_schema=True, or "
+                    "compact() the table to consolidate the union schema"
+                )
         paths = [os.path.join(self.data_dir, d) for d in dirs]
         reader = spark.read
         if merge_schema:

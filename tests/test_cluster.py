@@ -94,3 +94,29 @@ def test_apply_dedup_keeps_canonicals_and_untouched(spark):
 def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         cluster_pairs(_pairs(spark, [(i, i + 1) for i in range(1, 40)]), max_iter=1)
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    """With a checkpoint dir configured, checkpoint='auto' must route rounds
+    through reliable checkpoints (files appear under the dir) and produce
+    identical components."""
+    edges = [(i, i + 1) for i in range(1, 8)] + [(20, 21), (21, 22)]
+    sc = spark.sparkContext
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        got = _labels(cluster_pairs(_pairs(spark, edges)))
+        import os
+
+        found = any(files for _, _, files in os.walk(ckpt))
+        assert found, "no reliable checkpoint files written"
+    finally:
+        # unset for other tests (py4j needs getattr for the $-named setter)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.apply(None))
+    assert got == {**{i: 1 for i in range(1, 9)}, 20: 20, 21: 20, 22: 20}
+
+
+def test_explicit_local_checkpoint_mode_ignores_dir(spark, tmp_path):
+    edges = [(1, 2), (2, 3)]
+    got = _labels(cluster_pairs(_pairs(spark, edges), checkpoint="local"))
+    assert got == {1: 1, 2: 1, 3: 1}

@@ -294,6 +294,13 @@ def test_schema_evolution_merge_and_compact(spark, tmp_path):
         spark.range(5, 8).withColumnRenamed("id", "v").withColumn("extra", F.lit("x"))
     )
 
+    # a PLAIN read over a heterogeneous lineage must fail loudly (Spark
+    # would otherwise sample one file's schema and silently drop columns)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different column sets"):
+        tbl.read(spark)
+
     merged = tbl.read(spark, merge_schema=True)
     assert set(merged.columns) == {"v", "extra"}
     got = {r["v"]: r["extra"] for r in merged.collect()}
