@@ -78,6 +78,13 @@ def run_bench(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
     # 4.9 s) while neighbors stay normal — two trials are not enough to
     # reliably dodge a bad minute; three keep the recorded minimum about the
     # engine at ~1.5x bench runtime
+    # Trials are INTERLEAVED (full sweep × 3 rounds, not 3 back-to-back runs
+    # per query): co-tenant spikes on this host last O(tens of seconds), so
+    # consecutive trials of one query all land in the same bad minute and
+    # best-of-3 records the neighbor, not the engine. Spreading a query's
+    # trials across the whole bench window (minutes apart) lets the minimum
+    # dodge transient spikes — round-4's driver file recorded +69% on a
+    # byte-identical q22 plan exactly this way.
     trials = 3
     sink = tempfile.mkdtemp(prefix="bench_sink_")
     try:
@@ -86,15 +93,6 @@ def run_bench(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
             pages_path
         )
         pages = spark.read.parquet(pages_path)
-        extract_s = None
-        for _ in range(trials):
-            t0 = time.time()
-            extract(pages, ExtractConfig()).write.mode("overwrite").parquet(
-                os.path.join(sink, "extractions")
-            )
-            dt = time.time() - t0
-            extract_s = dt if extract_s is None else min(extract_s, dt)
-        timings["extract_pipeline"] = round(extract_s, 3)
 
         # Untimed codegen warm-up at sf0.001: the first execution of each
         # fresh expression tree pays janino compilation + JIT — measured as a
@@ -110,17 +108,26 @@ def run_bench(sf_dir: str, cpus: int, n_docs: int | None = None) -> dict:
                 contract.release_persists()
                 spark.catalog.clearCache()
 
-        for name in BENCH_QUERIES:
-            best = None
-            for _ in range(trials):
+        for _ in range(trials):
+            t0 = time.time()
+            extract(pages, ExtractConfig()).write.mode("overwrite").parquet(
+                os.path.join(sink, "extractions")
+            )
+            dt = time.time() - t0
+            prev = timings.get("extract_pipeline")
+            timings["extract_pipeline"] = dt if prev is None else min(prev, dt)
+
+            for name in BENCH_QUERIES:
                 t0 = time.time()
                 df = contract.QUERIES[name](spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
                 dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+                prev = timings.get(name)
+                timings[name] = dt if prev is None else min(prev, dt)
                 contract.release_persists()
                 spark.catalog.clearCache()  # queries persist staging tables
-            timings[name] = round(best, 3)
+        timings = {k: round(v, 3) for k, v in timings.items()}
+        extract_s = timings["extract_pipeline"]
     finally:
         shutil.rmtree(sink, ignore_errors=True)
 

@@ -2231,6 +2231,103 @@ def q43(spark, sf_dir):
     return weighted_sample(d, rates, default_rate=0.5).orderBy("doc_id")
 
 
+_BANNER = "cookie notice accept all tracking privacy policy terms conditions apply"
+
+
+@register(
+    "q48_line_dedup",
+    f"""
+    WITH pdocs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN '{_BANNER} ' || text ELSE text END AS text
+      FROM documents
+    ),
+    ltoks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+      FROM pdocs
+    ),
+    lines AS (
+      SELECT doc_id, i AS line_no,
+             array_to_string(arr[(i*10+1):(i*10+10)], ' ') AS line
+      FROM ltoks, UNNEST(generate_series(0,
+             CAST(CEIL(len(arr) / 10.0) AS BIGINT) - 1)) AS t(i)
+    ),
+    boiler AS (
+      SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM boiler)),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM lines GROUP BY doc_id)
+    SELECT c.doc_id, CAST(c.n AS BIGINT) AS n_lines,
+           CAST(c.n - COALESCE(k.n_kept, 0) AS BIGINT) AS n_boiler,
+           COALESCE(k.clean_text, '') AS clean_text
+    FROM counts c LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, ' ' ORDER BY line_no) AS clean_text
+      FROM kept GROUP BY doc_id
+    ) k USING (doc_id)
+    ORDER BY c.doc_id
+    """,
+)
+def q48(spark, sf_dir):
+    """Line-level boilerplate removal (CCNet/RefinedWeb line dedup): every
+    10-token line occurring verbatim in ≥2 distinct documents is dropped and
+    the cleaned text reassembled (operators/dedup.py line_dedup — one line-
+    hash groupBy + one anti equijoin, no self-joins). A fixed cookie-banner
+    line is prepended to every 3rd doc so real cross-document boilerplate
+    exists; it aligns to the first chunk and is removed from exactly those
+    docs."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit(_BANNER + " "), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return D.line_dedup(d, line_tokens=10, min_docs=2).orderBy("doc_id")
+
+
+@register(
+    "q49_sequence_packing",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                  AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS key,
+             SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+      FROM documents
+    ),
+    local AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY key, doc_id) AS cum
+      FROM keyed
+    ),
+    bases AS (
+      SELECT bucket,
+             COALESCE(SUM(tot) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+      FROM (SELECT bucket, SUM(n_tokens) AS tot FROM keyed GROUP BY bucket)
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR((base + cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+           CAST((base + cum - n_tokens) % 2048 AS BIGINT) AS pack_offset
+    FROM local JOIN bases USING (bucket)
+    ORDER BY doc_id
+    """,
+)
+def q49(spark, sf_dir):
+    """Deterministic concat-and-split sequence packing for pre-training
+    batches (operators/text_stats.py pack_sequences): documents lie
+    end-to-end in md5-hash order and the stream is cut into 2048-token
+    packs. The global prefix sum is two-phase (16 hash buckets in parallel
+    + a broadcast 16-row base-offset table) so no single partition ever
+    sees the whole corpus — outputs identical to the serial layout,
+    bit-reproducible across engines."""
+    return T.pack_sequences(
+        t(spark, sf_dir, "documents"), budget=2048, n_buckets=16
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # E. flagship: the full extraction pipeline over pages built from the
 #    driver's documents table (rows-only driver check; byte-parity vs the

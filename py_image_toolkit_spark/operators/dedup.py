@@ -465,3 +465,78 @@ def embedding_neardup_pairs(
     if bucketed and probe >= 1:
         out = out.distinct()  # a pair can match via several probes
     return out
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Line-level boilerplate removal (CCNet / RefinedWeb style): drop every
+    line that occurs in ≥ ``min_docs`` DISTINCT documents, keep the rest in
+    order, and reassemble the cleaned text.
+
+    "Lines" are fixed ``line_tokens``-token chunks of the whitespace token
+    stream (the fixture corpus has no newlines; on real pages pass text
+    pre-split on '\\n' — the relational shape is identical). This is the
+    workhorse between exact whole-doc dedup and fuzzy MinHash: navigation
+    chrome, cookie banners and footer text repeat VERBATIM across a host's
+    pages while the surrounding document does not.
+
+    Scale posture (100 TB): one posexplode (~L/line_tokens rows per doc),
+    one groupBy on the line hash with an algebraic count-distinct partial
+    (approx-free: distinct doc count per line is computed as groupBy
+    (hash, doc) → groupBy hash, two map-side-combinable stages), one
+    left_anti equijoin on the hash, one groupBy(doc) to reassemble. No
+    self-joins, no windows over the corpus; the line-hash shuffle is the
+    only corpus-sized stage and AQE skew-split handles viral lines.
+
+    Returns (id, n_lines, n_boiler, clean_text): total lines, lines dropped
+    as boilerplate, and the surviving text re-joined with single spaces.
+    """
+    arr = tokens_array(F.col(text_col))
+    n_lines = F.ceil(F.size(arr) / F.lit(line_tokens)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.array_join(F.slice(arr, i * line_tokens + 1, line_tokens), " "),
+    )
+    base = df.select(F.col(id_col), lines.alias("_lines")).select(
+        id_col, F.posexplode("_lines").alias("line_no", "line")
+    )
+    base = base.withColumn("line_hash", _md5(F.col("line")))
+    boiler = (
+        base.select("line_hash", id_col)
+        .distinct()
+        .groupBy("line_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("line_hash")
+    )
+    kept = base.join(boiler, "line_hash", "left_anti")
+    counts = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    out = (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        counts.join(out, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_lines").cast("long"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_boiler"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -255,3 +255,53 @@ def weighted_sample(
            else F.lit(_thr(default_rate)))
     pfx = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8)
     return df.filter(pfx < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 2048,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Deterministic concat-and-split sequence packing (the GPT-style
+    pre-training batch layout): documents are laid end-to-end in one global
+    token stream in a reproducible hash order, then the stream is cut into
+    fixed ``budget``-token packs; each document reports the pack where it
+    STARTS and its offset inside that pack.
+
+    Scale posture (100 TB): a single global prefix-sum window would funnel
+    the corpus through ONE partition, so the cumsum is two-phase — docs are
+    bucketed by the first hex nibble of their sort key, the prefix sum runs
+    per bucket (parallel windows), and the 16-row bucket-total table is
+    cumulated and broadcast back as base offsets. Same pattern scales to
+    any bucket count; outputs are identical to the serial layout.
+
+    Everything is exact integer arithmetic on md5-derived ordering —
+    bit-reproducible across engines and runs (oracle-hash-gated)."""
+    from pyspark.sql import Window
+
+    key = _md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens_array(F.col(text_col))).cast("long").alias("n_tokens"),
+        key.alias("_key"),
+        F.substring(key, 1, 1).alias("_bucket"),
+    )
+    w = Window.partitionBy("_bucket").orderBy("_key", id_col)
+    local = base.withColumn("_cum", F.sum("n_tokens").over(w))
+    totals = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_tot"))
+    wb = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bases = totals.select(
+        "_bucket", F.coalesce(F.sum("_tot").over(wb), F.lit(0)).alias("_base")
+    )
+    start = F.col("_base") + F.col("_cum") - F.col("n_tokens")
+    return (
+        local.join(F.broadcast(bases), "_bucket")
+        .select(
+            id_col,
+            "n_tokens",
+            F.floor(start / budget).cast("long").alias("pack_id"),
+            (start % budget).cast("long").alias("pack_offset"),
+        )
+    )

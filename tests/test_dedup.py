@@ -393,3 +393,33 @@ def test_contamination_stats_flags_leaked_docs(spark):
     # the membership probe is a broadcast, never a shuffled join of the corpus
     plan = contamination_stats(corpus, eval_df, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
+
+
+def test_line_dedup_removes_shared_keeps_unique(spark):
+    from py_image_toolkit_spark.operators.dedup import line_dedup
+
+    banner = "b0 b1 b2"  # one 3-token line shared by docs 1 and 2
+    docs = spark.createDataFrame(
+        [
+            (1, banner + " u1 u2 u3"),
+            (2, banner + " v1 v2 v3"),
+            (3, "w1 w2 w3 w4 w5 w6"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, line_tokens=3).collect()}
+    assert out[1]["n_lines"] == 2 and out[1]["n_boiler"] == 1
+    assert out[1]["clean_text"] == "u1 u2 u3"
+    assert out[2]["clean_text"] == "v1 v2 v3"
+    assert out[3]["n_boiler"] == 0 and out[3]["clean_text"] == "w1 w2 w3 w4 w5 w6"
+
+
+def test_line_dedup_all_boilerplate_doc_yields_empty(spark):
+    from py_image_toolkit_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same same same"), (2, "same same same")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, line_tokens=3).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["n_boiler"] == 1
+    assert set(out) == {1, 2}

@@ -48,3 +48,36 @@ def test_weighted_sample_rates_and_nesting(spark):
         if r["source"] == "cold"
     }
     assert set(cold) <= half
+
+
+def test_pack_sequences_matches_serial_layout(spark):
+    """The two-phase bucketed prefix sum must produce EXACTLY the serial
+    concat-and-split layout (same hash order, one global stream)."""
+    import hashlib
+
+    from py_image_toolkit_spark.operators.text_stats import pack_sequences
+
+    docs = [(i, " ".join(f"t{i}_{j}" for j in range(1 + (i * 7) % 23))) for i in range(60)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pack_sequences(df, budget=16).collect()}
+
+    order = sorted(docs, key=lambda d: (hashlib.md5(str(d[0]).encode()).hexdigest(), d[0]))
+    cum = 0
+    for doc_id, text in order:
+        n = len(text.split())
+        r = got[doc_id]
+        assert r["n_tokens"] == n
+        assert r["pack_id"] == cum // 16
+        assert r["pack_offset"] == cum % 16
+        cum += n
+
+
+def test_pack_sequences_offsets_within_budget(spark):
+    from py_image_toolkit_spark.operators.text_stats import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g") for i in range(40)], "doc_id long, text string"
+    )
+    rows = pack_sequences(df, budget=32).collect()
+    assert all(0 <= r["pack_offset"] < 32 for r in rows)
+    assert len({(r["pack_id"], r["pack_offset"]) for r in rows}) == len(rows)
