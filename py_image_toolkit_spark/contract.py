@@ -2231,6 +2231,75 @@ def q43(spark, sf_dir):
     return weighted_sample(d, rates, default_rate=0.5).orderBy("doc_id")
 
 
+@register(
+    "q50_asof_join",
+    """
+    WITH l AS (
+      SELECT event_id, user_id, ts, 1 AS side,
+             NULL::BIGINT AS r_eid, NULL::TIMESTAMP AS r_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    r AS (
+      SELECT NULL::BIGINT AS event_id, user_id, ts, 0 AS side,
+             event_id AS r_eid, ts AS r_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+    m AS (
+      SELECT *,
+        LAST_VALUE(r_eid IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts, side, r_eid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_eid,
+        LAST_VALUE(r_ts IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts, side, r_eid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_ts
+      FROM u
+    )
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           m_eid AS click_event_id,
+           CASE WHEN m_ts IS NULL THEN NULL
+                ELSE epoch_us(ts) - epoch_us(m_ts) END AS staleness_us
+    FROM m WHERE side = 1 ORDER BY event_id
+    """,
+)
+def q50(spark, sf_dir):
+    """As-of (point-in-time) join: every 'view' event picks the LATEST
+    'click' by the same user at or before its timestamp — feature-store
+    semantics (operators/asof.py asof_join: union + one keyed window, ONE
+    |L|+|R| shuffle, no range-join row multiplication, payload travels as
+    a struct so all attached columns come from the same matched row)."""
+    from py_image_toolkit_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    j = asof_join(
+        left,
+        right,
+        on="user_id",
+        ts_col="ts",
+        right_cols=["click_event_id", "click_ts"],
+        right_order="click_event_id",
+        prefix="",
+    )
+    # parquet timestamps read as TIMESTAMP_NTZ; the session tz is pinned to
+    # UTC (session.py) so the cast to TIMESTAMP is tz-exact and unix_micros
+    # matches DuckDB's epoch_us on the same naive values
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return j.select(
+        "event_id",
+        "user_id",
+        us("ts").alias("ts_us"),
+        "click_event_id",
+        (us("ts") - us("click_ts")).alias("staleness_us"),
+    ).orderBy("event_id")
+
+
 _BANNER = "cookie notice accept all tracking privacy policy terms conditions apply"
 
 
