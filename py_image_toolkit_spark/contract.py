@@ -2397,6 +2397,175 @@ def q49(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_PER_TOKEN_SQL = """
+per AS (
+  SELECT doc_id, t.token, COUNT(*) AS c
+  FROM documents, UNNEST(regexp_extract_all(text, '{bpe}')) AS t(token)
+  GROUP BY doc_id, t.token
+)
+"""
+
+
+@register(
+    "q51_vocab_topk",
+    "WITH " + _PER_TOKEN_SQL.format(bpe=T.BPE_RE) + """
+    SELECT token, CAST(SUM(c) AS BIGINT) AS occurrences,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM per GROUP BY token
+    ORDER BY occurrences DESC, token LIMIT 100
+    """,
+)
+def q51(spark, sf_dir):
+    """Corpus vocabulary building (operators/corpus.py vocab_topk): BPE-ish
+    lexer tokens → (doc, token) map-side-combined counts → token totals +
+    document frequency → deterministic top-100 via TakeOrderedAndProject
+    (per-partition top-k, never a global sort shuffle)."""
+    from py_image_toolkit_spark.operators.corpus import vocab_topk
+
+    return vocab_topk(t(spark, sf_dir, "documents"), k=100)
+
+
+@register(
+    "q52_tfidf_topk",
+    "WITH " + _PER_TOKEN_SQL.format(bpe=T.BPE_RE) + """,
+    df_t AS (SELECT token, COUNT(*) AS doc_freq FROM per GROUP BY token),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT p.doc_id, p.token, CAST(p.c AS BIGINT) AS tf,
+             CAST(p.c * ((1000000 * n.n_docs) // d.doc_freq) AS BIGINT) AS score
+      FROM per p JOIN df_t d USING (token) CROSS JOIN n
+    ),
+    r AS (SELECT *, ROW_NUMBER() OVER
+            (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+          FROM scored)
+    SELECT doc_id, token, tf, score, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5 ORDER BY doc_id, rnk
+    """,
+)
+def q52(spark, sf_dir):
+    """Per-document keyword extraction (operators/corpus.py tfidf_topk):
+    top-5 tokens by an integer-exact TF-IDF proxy
+    ``tf * (1e6 * n_docs DIV doc_freq)`` — no float ``ln`` so the selected
+    set is bit-reproducible across engines. Token-keyed equijoin for the
+    df table (vocabulary NOT assumed broadcastable at web scale); only the
+    1-row corpus count is broadcast."""
+    from py_image_toolkit_spark.operators.corpus import tfidf_topk
+
+    out = tfidf_topk(t(spark, sf_dir, "documents"), k=5)
+    return out.withColumnRenamed("rank", "rnk").orderBy("doc_id", "rnk")
+
+
+@register(
+    "q53_stratified_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS key FROM documents
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rnk
+      FROM keyed
+    )
+    SELECT doc_id, lang, CAST(rnk AS BIGINT) AS stratum_rank
+    FROM ranked
+    WHERE rnk <= CASE WHEN lang = 'en' THEN 60 WHEN lang = 'zh' THEN 30 ELSE 20 END
+    ORDER BY doc_id
+    """,
+)
+def q53(spark, sf_dir):
+    """Exact-quota stratified sampling (operators/corpus.py
+    stratified_sample): first-N per language in reproducible md5 order.
+    The oracle's serial per-stratum ROW_NUMBER is the SEMANTICS; the engine
+    computes the identical rank two-phase (16 hash sub-buckets per stratum
+    + broadcast base offsets) so no stratum funnels through one partition —
+    the hash-gate proves the two-phase rank equals the serial one."""
+    from py_image_toolkit_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(
+        t(spark, sf_dir, "documents"),
+        strata_col="lang",
+        quotas={"en": 60, "zh": 30},
+        default_quota=20,
+    ).orderBy("doc_id")
+
+
+@register(
+    "q54_incremental_dedup",
+    """
+    WITH d AS (SELECT doc_id, text FROM documents),
+    batch AS (
+      SELECT doc_id + 10000 AS doc_id, text FROM d WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id + 20000, text || ' zz near dup tail' FROM d WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 40000, text || ' zz near dup tail' FROM d WHERE doc_id % 7 = 0
+    ),
+    h AS (SELECT doc_id, md5(text) AS content_hash FROM batch),
+    idx AS (SELECT DISTINCT md5(text) AS content_hash FROM d),
+    r AS (
+      SELECT h.doc_id, h.content_hash,
+             (i.content_hash IS NOT NULL) AS in_idx,
+             ROW_NUMBER() OVER (PARTITION BY h.content_hash ORDER BY h.doc_id) AS rn
+      FROM h LEFT JOIN idx i ON h.content_hash = i.content_hash
+    )
+    SELECT doc_id, content_hash,
+           CASE WHEN in_idx THEN 'dup_of_index'
+                WHEN rn > 1 THEN 'dup_in_batch'
+                ELSE 'kept' END AS status
+    FROM r ORDER BY doc_id
+    """,
+)
+def q54(spark, sf_dir):
+    """Incremental crawl-ingestion dedup (operators/dedup.py
+    dedup_incremental): a new batch (exact re-crawls of every 11th doc +
+    two copies of a near-dup variant of every 7th) is deduplicated against
+    the committed corpus's HASH-ONLY index — the historical text never
+    shuffles; within-batch first-wins by id. Statuses: dup_of_index /
+    dup_in_batch / kept."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id"), F.concat(F.col("text"), F.lit(" zz near dup tail")).alias("text")
+    )
+    batch = exact.unionByName(
+        near.select((F.col("doc_id") + 20000).alias("doc_id"), "text")
+    ).unionByName(near.select((F.col("doc_id") + 40000).alias("doc_id"), "text"))
+    return D.dedup_incremental(batch, index=d).orderBy("doc_id")
+
+
+@register(
+    "q55_ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(arr[i:i+2], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, len(arr) - 2)) AS t(i)
+      WHERE len(arr) >= 3
+    ),
+    first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS total_ngrams,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel_ngrams,
+           CAST((1000000 * SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS novelty_micro
+    FROM sh s JOIN first f ON s.shingle = f.shingle
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+)
+def q55(spark, sf_dir):
+    """Corpus-growth novelty triage (operators/dedup.py ngram_novelty): per
+    document, the share of its distinct word trigrams first seen (min
+    doc_id) in that document, in exact integer micro-units. One gram-keyed
+    groupBy + one gram-keyed equijoin + one doc-keyed agg — never
+    doc × doc."""
+    return D.ngram_novelty(t(spark, sf_dir, "documents"), k=3).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # E. flagship: the full extraction pipeline over pages built from the
 #    driver's documents table (rows-only driver check; byte-parity vs the

@@ -540,3 +540,85 @@ def line_dedup(
             F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )
+
+
+def dedup_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """Incremental exact dedup of a NEW batch against an already-committed
+    corpus index — the production shape of crawl ingestion: the historical
+    corpus is never re-read as text, only its content-hash index (the
+    SnapshotTable runs/lineage layer is exactly where such an index lives).
+
+    Returns every batch row with its content hash and a status:
+    ``dup_of_index`` (hash already committed), ``dup_in_batch`` (first
+    occurrence within the batch wins by id order), or ``kept``.
+
+    Scale posture (100 TB corpus, TB-scale batch): the index side carries
+    ONLY the hash column (distinct'd — map-side combinable); the join is a
+    hash-keyed equijoin, so the historical corpus text never shuffles; the
+    within-batch window partitions by content hash over batch-sized data
+    only. Appending kept hashes back to the index keeps the next increment
+    just as cheap.
+    """
+    hashed = batch.select(
+        F.col(id_col), _md5(F.col(text_col)).alias(hash_col)
+    )
+    # the index side may be the committed hash index itself, or (for ad-hoc
+    # use) a text table that still needs hashing
+    idx_hashes = (
+        index.select(F.col(hash_col))
+        if hash_col in index.columns
+        else index.select(_md5(F.col(text_col)).alias(hash_col))
+    )
+    idx = idx_hashes.distinct().withColumn("_in_index", F.lit(1))
+    w = Window.partitionBy(hash_col).orderBy(id_col)
+    return (
+        hashed.join(idx, hash_col, "left")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            id_col,
+            hash_col,
+            F.when(F.col("_in_index").isNotNull(), "dup_of_index")
+            .when(F.col("_rn") > 1, "dup_in_batch")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document novelty against the whole corpus: the share of a
+    document's DISTINCT word k-grams whose globally-first occurrence (by
+    min id — in a crawl, ingestion order / warc_ts rank) is this document.
+    Low novelty ⇒ the document is mostly re-hashed content already seen
+    earlier — a cheap corpus-growth/quality signal used when triaging new
+    crawl snapshots.
+
+    Scale posture: reuses shingle_df's distinct (doc, k-gram) rows; one
+    gram-keyed groupBy (min id, map-side combinable) + one gram-keyed
+    equijoin back + one doc-keyed aggregation. Never doc × doc, never a
+    global sort; ratio reported in exact integer micro-units (BIGINT DIV).
+    """
+    grams = shingle_df(df, id_col, text_col, k=k)
+    first = grams.groupBy("shingle").agg(F.min(id_col).alias("_first"))
+    return (
+        grams.join(first, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+            F.sum((F.col("_first") == F.col(id_col)).cast("long"))
+            .cast("long")
+            .alias("novel_ngrams"),
+        )
+        .withColumn(
+            "novelty_micro",
+            F.expr("CAST(1000000 AS BIGINT) * novel_ngrams DIV total_ngrams"),
+        )
+    )

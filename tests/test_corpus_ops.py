@@ -1,0 +1,132 @@
+"""Corpus-assembly operator tests (vocab/TF-IDF/stratified-sample/
+incremental-dedup/novelty) against brute-force Python references."""
+
+import hashlib
+import re
+from collections import Counter
+
+import pytest
+
+from py_image_toolkit_spark.operators import corpus as C
+from py_image_toolkit_spark.operators import dedup as D
+from py_image_toolkit_spark.operators.text_stats import BPE_RE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the dog sat on the log", "en"),
+        (3, "the cat sat on the mat", "en"),  # exact dup of 1
+        (4, "entirely novel words here nothing shared", "de"),
+        (5, "the cat sat on the mat extra tail", "de"),
+        (6, "", "fr"),
+        (7, "one", "fr"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def _toks(text):
+    return re.findall(BPE_RE, text)
+
+
+def test_vocab_topk_matches_counter(docs):
+    out = C.vocab_topk(docs, k=5).toPandas()
+    occ = Counter()
+    dfreq = Counter()
+    for _, r in docs.toPandas().iterrows():
+        toks = _toks(r.text)
+        occ.update(toks)
+        dfreq.update(set(toks))
+    expected = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(zip(out["token"], out["occurrences"])) == expected
+    for _, r in out.iterrows():
+        assert dfreq[r.token] == r.doc_freq
+
+
+def test_tfidf_topk_rank_and_integer_score(docs):
+    out = C.tfidf_topk(docs, k=3).toPandas()
+    pdf = docs.toPandas()
+    n_docs = pdf.doc_id.nunique()
+    dfreq = Counter()
+    for _, r in pdf.iterrows():
+        dfreq.update(set(_toks(r.text)))
+    for doc_id, grp in out.groupby("doc_id"):
+        toks = Counter(_toks(pdf[pdf.doc_id == doc_id].text.iloc[0]))
+        scores = {
+            tok: tf * ((1_000_000 * n_docs) // dfreq[tok])
+            for tok, tf in toks.items()
+        }
+        expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        got = list(zip(grp.sort_values("rank")["token"], grp.sort_values("rank")["score"]))
+        assert got == expect
+    # empty/short docs emit ≤ their token count rows, never crash
+    assert set(out.doc_id) == {1, 2, 3, 4, 5, 7}
+
+
+def test_stratified_sample_two_phase_equals_serial(docs):
+    out = C.stratified_sample(
+        docs, strata_col="lang", quotas={"en": 2}, default_quota=1
+    ).toPandas()
+    pdf = docs.toPandas()
+    pdf["key"] = pdf.doc_id.map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    kept = []
+    for lang, grp in pdf.groupby("lang"):
+        quota = {"en": 2}.get(lang, 1)
+        ordered = grp.sort_values(["key", "doc_id"])
+        for rank, (_, r) in enumerate(ordered.iterrows(), start=1):
+            if rank <= quota:
+                kept.append((r.doc_id, lang, rank))
+    assert sorted(map(tuple, out[["doc_id", "lang", "stratum_rank"]].values.tolist())) == sorted(kept)
+
+
+def test_dedup_incremental_statuses(spark):
+    index = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),   # dup_of_index
+            (11, "brand new"),     # kept
+            (12, "brand new"),     # dup_in_batch (11 wins by id)
+            (13, "also seen"),     # dup_of_index
+            (14, "other new"),     # kept
+        ],
+        "doc_id long, text string",
+    )
+    out = D.dedup_incremental(batch, index).toPandas().set_index("doc_id")
+    assert out.loc[10, "status"] == "dup_of_index"
+    assert out.loc[11, "status"] == "kept"
+    assert out.loc[12, "status"] == "dup_in_batch"
+    assert out.loc[13, "status"] == "dup_of_index"
+    assert out.loc[14, "status"] == "kept"
+    # accepts a pre-hashed index too (the committed-snapshot shape)
+    hashed_index = index.select(
+        D._md5(index.text).alias("content_hash")
+    )
+    out2 = D.dedup_incremental(batch, hashed_index).toPandas().set_index("doc_id")
+    assert (out2["status"] == out["status"]).all()
+
+
+def test_ngram_novelty_brute_force(docs):
+    out = D.ngram_novelty(docs, k=3).toPandas().set_index("doc_id")
+    pdf = docs.toPandas()
+    grams = {}
+    for _, r in pdf.sort_values("doc_id").iterrows():
+        toks = r.text.split()
+        gs = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        grams[r.doc_id] = gs
+    first = {}
+    for doc_id in sorted(grams):
+        for g in grams[doc_id]:
+            first.setdefault(g, doc_id)
+    for doc_id, gs in grams.items():
+        if not gs:
+            assert doc_id not in out.index
+            continue
+        novel = sum(1 for g in gs if first[g] == doc_id)
+        assert out.loc[doc_id, "total_ngrams"] == len(gs)
+        assert out.loc[doc_id, "novel_ngrams"] == novel
+        assert out.loc[doc_id, "novelty_micro"] == (1_000_000 * novel) // len(gs)
+    # the exact dup of doc 1 has zero novelty
+    assert out.loc[3, "novelty_micro"] == 0
