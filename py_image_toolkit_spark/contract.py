@@ -2566,6 +2566,120 @@ def q55(spark, sf_dir):
     return D.ngram_novelty(t(spark, sf_dir, "documents"), k=3).orderBy("doc_id")
 
 
+@register(
+    "q56_bpe_pair_counts",
+    """
+    WITH w0 AS (
+      SELECT t.word AS word, COUNT(*) AS freq
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             AS t(word)
+      GROUP BY t.word
+    ),
+    words AS (SELECT word, freq FROM w0 WHERE length(word) >= 2),
+    pairs AS (
+      SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r, freq
+      FROM words, UNNEST(generate_series(1, length(word) - 1)) AS g(i)
+    )
+    SELECT l AS lhs, r AS rhs, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY l, r
+    ORDER BY pair_count DESC, lhs, rhs LIMIT 50
+    """,
+)
+def q56(spark, sf_dir):
+    """BPE tokenizer-training inner loop (operators/corpus.py
+    bpe_pair_counts): corpus → word-frequency table (map-side combine; a
+    word repeated 10^9 times is processed once) → freq-weighted adjacent
+    character-pair counts → top-50 merge candidates via
+    TakeOrderedAndProject."""
+    from py_image_toolkit_spark.operators.corpus import bpe_pair_counts
+
+    return bpe_pair_counts(t(spark, sf_dir, "documents"), k=50)
+
+
+@register(
+    "q57_pmi_bigrams",
+    """
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    uni AS (
+      SELECT t.tok AS tok, COUNT(*) AS c
+      FROM toks, UNNEST(arr) AS t(tok) GROUP BY t.tok
+    ),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni),
+    big AS (
+      SELECT arr[i] AS w1, arr[i + 1] AS w2, COUNT(*) AS c_ab
+      FROM toks, UNNEST(generate_series(1, len(arr) - 1)) AS g(i)
+      WHERE len(arr) >= 2
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT b.w1, b.w2, CAST(b.c_ab AS BIGINT) AS pair_count,
+           CAST((1000000 * n.n_tok * b.c_ab) // (u1.c * u2.c) AS BIGINT)
+             AS pmi_micro
+    FROM big b
+    JOIN uni u1 ON b.w1 = u1.tok
+    JOIN uni u2 ON b.w2 = u2.tok
+    CROSS JOIN n
+    ORDER BY w1, w2
+    """,
+)
+def q57(spark, sf_dir):
+    """Collocation mining (operators/corpus.py pmi_bigrams): adjacent-token
+    bigrams scored by the integer-exact PMI proxy
+    ``(1e6 * N * c_ab) DIV (c_a * c_b)``. Bigrams built map-side from the
+    token array (no per-doc window); unigram counts attached by token-keyed
+    equijoin — the vocabulary is never assumed broadcastable."""
+    from py_image_toolkit_spark.operators.corpus import pmi_bigrams
+
+    return pmi_bigrams(t(spark, sf_dir, "documents"), min_count=2).orderBy(
+        "w1", "w2"
+    )
+
+
+@register(
+    "q58_length_percentiles",
+    """
+    WITH lens AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS l
+      FROM documents
+    ),
+    hist AS (SELECT lang, l, COUNT(*) AS cnt FROM lens GROUP BY lang, l),
+    cum AS (
+      SELECT lang, l, cnt,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY l) AS cum,
+             SUM(cnt) OVER (PARTITION BY lang) AS tot
+      FROM hist
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS distinct_lengths,
+           CAST(MAX(tot) AS BIGINT) AS n_docs,
+           CAST(MIN(l) AS BIGINT) AS min_len,
+           CAST(MAX(l) AS BIGINT) AS max_len,
+           CAST(MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN l END)
+                AS BIGINT) AS p50_len,
+           CAST(MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN l END)
+                AS BIGINT) AS p90_len,
+           CAST(MIN(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN l END)
+                AS BIGINT) AS p99_len
+    FROM cum GROUP BY lang ORDER BY lang
+    """,
+)
+def q58(spark, sf_dir):
+    """Corpus length-distribution summary (operators/corpus.py
+    length_percentiles): per-language doc count, min/max and DISCRETE
+    p50/p90/p99 token lengths. The corpus collapses to a (lang, length)
+    histogram first (map-side combine); the cumulative window runs over
+    distinct lengths only — never a global sort of document rows."""
+    from py_image_toolkit_spark.operators.corpus import length_percentiles
+
+    return length_percentiles(t(spark, sf_dir, "documents")).orderBy("lang")
+
+
 # --------------------------------------------------------------------------
 # E. flagship: the full extraction pipeline over pages built from the
 #    driver's documents table (rows-only driver check; byte-parity vs the

@@ -1,12 +1,20 @@
 """Corpus-level assembly/statistics operators for training-data curation.
 
-- vocab_topk        : corpus-wide token vocabulary with occurrence and
-                      document frequencies, deterministic top-k
-- tfidf_topk        : per-document top-k salient tokens by an integer-exact
-                      TF-IDF proxy (no float logs — bit-reproducible)
-- stratified_sample : EXACT per-stratum quotas in a reproducible hash order,
-                      with a two-phase rank so no stratum funnels through a
-                      single partition
+- vocab_topk         : corpus-wide token vocabulary with occurrence and
+                       document frequencies, deterministic top-k
+- tfidf_topk         : per-document top-k salient tokens by an integer-exact
+                       TF-IDF proxy (no float logs — bit-reproducible)
+- stratified_sample  : EXACT per-stratum quotas in a reproducible hash order,
+                       with a two-phase rank so no stratum funnels through a
+                       single partition
+- bpe_pair_counts    : the inner loop of BPE tokenizer training — corpus-
+                       weighted adjacent-symbol pair frequencies from the
+                       word-frequency table
+- pmi_bigrams        : collocation mining — adjacent-token bigrams scored by
+                       an integer-exact PMI proxy against unigram counts
+- length_percentiles : per-group token-length distribution (min/discrete
+                       percentiles/max) via a value histogram — never a
+                       global sort of the corpus
 
 All pure Column code (whole-stage codegen, no Python on the hot path).
 Reference analog: py-image-toolkit has no corpus layer; these are the
@@ -19,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from py_image_toolkit_spark.operators.dedup import _md5
+from py_image_toolkit_spark.operators.dedup import _md5, tokens_array
 from py_image_toolkit_spark.operators.text_stats import BPE_RE
 
 
@@ -176,3 +184,156 @@ def stratified_sample(
         )
         .filter(F.col("stratum_rank") <= quota)
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """One round of the BPE tokenizer-training inner loop, distributed: the
+    top-``k`` adjacent-symbol pairs by corpus-weighted frequency, computed
+    from the word-frequency table (the merge candidates; iterating
+    merge-then-recount yields the full BPE vocabulary).
+
+    Words are whitespace tokens; symbols are single characters (the seed
+    alphabet of round 0). Each word contributes ``freq(word)`` to every
+    adjacent character pair inside it.
+
+    Scale posture (100 TB): the corpus collapses to its word-frequency
+    table FIRST (one map-side-combinable groupBy — the vocabulary is
+    orders of magnitude smaller than the corpus); pair explosion then runs
+    over distinct words only, weighted by freq, so a word repeated 10^9
+    times is processed once. Top-k is TakeOrderedAndProject, never a
+    global sort.
+    """
+    words = (
+        df.select(F.explode(tokens_array(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("_freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        "_freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> struct(substring(word, i, 1) AS lhs, "
+                "substring(word, i + 1, 1) AS rhs))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("_freq").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "lhs", "rhs")
+        .limit(k)
+    )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Collocation mining: adjacent-token bigrams scored by an integer-exact
+    PMI proxy ``score = (scale * N * c_ab) DIV (c_a * c_b)`` where ``N`` is
+    the corpus token count — monotone in ``exp(PMI)``, but exact BIGINT
+    arithmetic so the mined collocation set is bit-reproducible across
+    engines (float ``log`` would differ in the last ulp).
+
+    Scale posture (100 TB): bigrams are built map-side from the token array
+    (``transform(sequence …)`` — no per-doc window, no self-join); unigram
+    and bigram tables are both map-side-combined groupBys; the two joins
+    attach unigram counts by token key (the vocabulary is NOT assumed
+    broadcastable); the 1-row N is broadcast. Overflow note: at 10^12-token
+    scale ``scale * N * c_ab`` exceeds int64 — production would compute in
+    DECIMAL(38,0); BIGINT kept here because the driver hash-gate compares
+    integer types exactly.
+    """
+    arr = tokens_array(F.col(text_col))
+    toks = df.select(F.explode(arr).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = toks.select(F.count(F.lit(1)).cast("long").alias("_n"))
+    big = (
+        df.select(arr.alias("_a"))
+        # sequence(0, -2) would DESCEND, not come back empty — guard short docs
+        .filter(F.size("_a") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_a) - 2), "
+                    "i -> struct(_a[i] AS w1, _a[i + 1] AS w2))"
+                )
+            ).alias("b")
+        )
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_count)
+    )
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("long").alias("pair_count"),
+            F.expr(
+                f"CAST({scale} AS BIGINT) * _n * c_ab DIV (c_a * c_b)"
+            ).cast("long").alias("pmi_micro"),
+        )
+    )
+
+
+def length_percentiles(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    percentiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Per-group token-length distribution summary: doc count, min, max and
+    DISCRETE percentiles — ``p`` = the smallest length whose cumulative doc
+    count reaches ``ceil(p% · n_docs)`` (an actual corpus value, integer
+    exact; never interpolated floats).
+
+    Scale posture (100 TB): the corpus collapses to a (group, length)
+    HISTOGRAM first — one map-side-combinable groupBy — and the cumulative
+    window then runs over distinct lengths only (thousands of rows, not
+    trillions). Never a global sort or per-group funnel of document rows;
+    this is the standard count-histogram percentile trick.
+    """
+    n_tok = F.size(tokens_array(F.col(text_col))).cast("long")
+    hist = (
+        df.select(F.col(group_col), n_tok.alias("_len"))
+        .groupBy(group_col, "_len")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_len")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("_cum", F.sum("_cnt").over(w)).withColumn(
+        "_tot", F.sum("_cnt").over(Window.partitionBy(group_col))
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("distinct_lengths"),
+        F.max("_tot").cast("long").alias("n_docs"),
+        F.min("_len").cast("long").alias("min_len"),
+        F.max("_len").cast("long").alias("max_len"),
+    ]
+    for p in percentiles:
+        # smallest length with cum >= ceil(p% of total); integer ceil-division
+        # so no float enters the threshold
+        thresh = F.expr(f"CAST((_tot * {p} + 99) DIV 100 AS BIGINT)")
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= thresh, F.col("_len")))
+            .cast("long")
+            .alias(f"p{p}_len")
+        )
+    return cum.groupBy(group_col).agg(*aggs)

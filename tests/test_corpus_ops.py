@@ -130,3 +130,57 @@ def test_ngram_novelty_brute_force(docs):
         assert out.loc[doc_id, "novelty_micro"] == (1_000_000 * novel) // len(gs)
     # the exact dup of doc 1 has zero novelty
     assert out.loc[3, "novelty_micro"] == 0
+
+
+def test_bpe_pair_counts_brute_force(docs):
+    out = C.bpe_pair_counts(docs, k=100).toPandas()
+    freq = Counter()
+    for _, r in docs.toPandas().iterrows():
+        freq.update(w for w in r.text.split() if len(w) >= 2)
+    pairs = Counter()
+    for word, f in freq.items():
+        for a, b in zip(word, word[1:]):
+            pairs[(a, b)] += f
+    expected = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = [((r.lhs, r.rhs), r.pair_count) for _, r in out.iterrows()]
+    assert got == expected[: len(got)]
+    # the most frequent pair is the round's merge candidate
+    assert (out.iloc[0].lhs, out.iloc[0].rhs) == expected[0][0]
+
+
+def test_pmi_bigrams_brute_force(docs):
+    out = C.pmi_bigrams(docs, min_count=1).toPandas()
+    uni = Counter()
+    big = Counter()
+    for _, r in docs.toPandas().iterrows():
+        toks = r.text.split()
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n = sum(uni.values())
+    assert len(out) == len(big)
+    for _, r in out.iterrows():
+        c_ab = big[(r.w1, r.w2)]
+        assert r.pair_count == c_ab
+        assert r.pmi_micro == (1_000_000 * n * c_ab) // (uni[r.w1] * uni[r.w2])
+    # min_count filters singletons
+    out2 = C.pmi_bigrams(docs, min_count=2).toPandas()
+    assert set(map(tuple, out2[["w1", "w2"]].values.tolist())) == {
+        k for k, v in big.items() if v >= 2
+    }
+
+
+def test_length_percentiles_brute_force(docs):
+    out = C.length_percentiles(docs).toPandas().set_index("lang")
+    pdf = docs.toPandas()
+    pdf["l"] = pdf.text.map(lambda s: len(s.split()))
+    for lang, grp in pdf.groupby("lang"):
+        lens = sorted(grp.l)
+        n = len(lens)
+        row = out.loc[lang]
+        assert row.n_docs == n
+        assert row.min_len == lens[0] and row.max_len == lens[-1]
+        assert row.distinct_lengths == len(set(lens))
+        for p in (50, 90, 99):
+            # smallest value whose cumulative count reaches ceil(p% of n)
+            want = lens[-(-n * p // 100) - 1]
+            assert row[f"p{p}_len"] == want, (lang, p)
