@@ -2680,6 +2680,126 @@ def q58(spark, sf_dir):
     return length_percentiles(t(spark, sf_dir, "documents")).orderBy("lang")
 
 
+# Deterministic linky pages: each document becomes a page on its source's
+# host carrying one absolute cross-host anchor and one relative anchor —
+# built by IDENTICAL string concatenation in Spark and DuckDB so the real
+# extract_links operator is oracle-checkable end-to-end.
+_LINK_PAGES_SQL = """
+    link_pages AS (
+      SELECT 'https://' || source || '.example.com/doc/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             '<p>' || text || '</p><a href="https://src'
+               || CAST((doc_id * 7 + 3) % 20 AS VARCHAR)
+               || '.example.com/a">x</a><a href="/rel">y</a>' AS html
+      FROM documents
+    ),
+    raw_links AS (
+      SELECT regexp_extract(url, '^https?://([^/:?#]+)', 1) AS src, t.target
+      FROM link_pages,
+           UNNEST(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS t(target)
+    ),
+    host_edges AS (
+      SELECT DISTINCT src,
+             CASE WHEN regexp_matches(target, '^https?://')
+                  THEN regexp_extract(target, '^https?://([^/:?#]+)', 1)
+                  ELSE src END AS dst
+      FROM raw_links
+    )
+"""
+
+
+def _link_pages(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<p>"),
+            F.col("text"),
+            F.lit('</p><a href="https://src'),
+            ((F.col("doc_id") * 7 + 3) % 20).cast("string"),
+            F.lit('.example.com/a">x</a><a href="/rel">y</a>'),
+        ).alias("html"),
+    )
+
+
+@register(
+    "q59_host_link_graph",
+    "WITH " + _LINK_PAGES_SQL + """
+    SELECT src, dst FROM host_edges ORDER BY src, dst
+    """,
+)
+def q59(spark, sf_dir):
+    """Host link-graph extraction (operators/graph.py extract_links): one
+    codegen regexp pass over raw HTML finds hrefs, a second normalizes
+    absolute targets to their host (relative hrefs resolve to the source
+    host); pages collapse to host pairs map-side before the only shuffle
+    (the edge distinct)."""
+    from py_image_toolkit_spark.operators.graph import extract_links
+
+    return extract_links(_link_pages(spark, sf_dir)).orderBy("src", "dst")
+
+
+def _pagerank_oracle_sql(iters: int, scale: int = 1_000_000, damping: int = 85) -> str:
+    base = (scale * (100 - damping)) // 100
+    sql = (
+        "WITH "
+        + _LINK_PAGES_SQL
+        + """,
+    deg AS (SELECT src, COUNT(*) AS deg FROM host_edges GROUP BY src),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM host_edges
+        UNION ALL SELECT dst FROM host_edges
+      )
+    ),
+    r0 AS (SELECT node, CAST(%d AS BIGINT) AS rank FROM nodes)
+    """
+        % scale
+    )
+    for i in range(iters):
+        sql += f""",
+    c{i} AS (
+      SELECT e.dst, SUM(r.rank // d.deg) AS insum
+      FROM host_edges e
+      JOIN r{i} r ON e.src = r.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r{i + 1} AS (
+      SELECT n.node,
+             CAST({base} + ({damping} * COALESCE(c.insum, 0)) // 100 AS BIGINT)
+               AS rank
+      FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst
+    )
+    """
+    sql += f"""
+    SELECT r.node, CAST(r.rank AS BIGINT) AS rank_micro,
+           CAST(COALESCE(d.deg, 0) AS BIGINT) AS out_degree
+    FROM r{iters} r LEFT JOIN deg d ON r.node = d.src
+    ORDER BY node
+    """
+    return sql
+
+
+@register("q60_host_pagerank", _pagerank_oracle_sql(5))
+def q60(spark, sf_dir):
+    """Host-graph PageRank (operators/graph.py pagerank): 5 damped power
+    iterations over q59's edge set in EXACT integer micro-units (floor
+    division everywhere — bit-identical ranks on any engine; the oracle
+    unrolls the same 5 rounds as SQL CTEs). Each round is one src-keyed
+    equijoin + one dst-keyed map-side-combinable groupBy, round boundaries
+    lineage-truncated like cluster_pairs."""
+    from py_image_toolkit_spark.operators.graph import extract_links, pagerank
+
+    edges = extract_links(_link_pages(spark, sf_dir))
+    return pagerank(edges, iterations=5).orderBy("node")
+
+
 # --------------------------------------------------------------------------
 # E. flagship: the full extraction pipeline over pages built from the
 #    driver's documents table (rows-only driver check; byte-parity vs the
