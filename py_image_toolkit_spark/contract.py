@@ -2800,6 +2800,107 @@ def q60(spark, sf_dir):
     return pagerank(edges, iterations=5).orderBy("node")
 
 
+_BLOCKED_HOSTS = ("host-3.example", "host-17.example", "spam.example.org")
+_BLOCKED_PATTERNS = ("/p/1[0-9]$", "utm_medium=z")
+
+_HOST_EXPR_SQL = (
+    "lower(regexp_replace(regexp_extract(url,"
+    " '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$', ''))"
+)
+_HR_SQL = "CASE " + " ".join(
+    f"WHEN host = '{b}' OR ends_with(host, '.{b}') THEN '{b}'"
+    for b in _BLOCKED_HOSTS
+) + " END"
+_PR_SQL = "CASE " + " ".join(
+    f"WHEN regexp_matches(url, '{p}') THEN '{p}'" for p in _BLOCKED_PATTERNS
+) + " END"
+
+
+@register(
+    "q61_url_blocklist",
+    f"""
+    WITH {_URLS_SQL},
+    hosted AS (SELECT doc_id, n_chars, lang, url, {_HOST_EXPR_SQL} AS host
+               FROM urls),
+    ruled AS (SELECT *, {_HR_SQL} AS hr, {_PR_SQL} AS pr FROM hosted)
+    SELECT doc_id, n_chars, lang, url, host,
+           CASE WHEN hr IS NOT NULL THEN 'blocked_host'
+                WHEN pr IS NOT NULL THEN 'blocked_pattern'
+                ELSE 'kept' END AS verdict,
+           COALESCE(hr, pr) AS rule
+    FROM ruled ORDER BY doc_id
+    """,
+)
+def q61(spark, sf_dir):
+    """URL blocklist gating (operators/web.py url_filter): domain-suffix
+    host rules + URL regex rules, first match wins in list order, host
+    rules over pattern rules; emits verdict + matched rule per row (drop
+    REASONS for lineage, not a silent filter). Blocklists fold into the
+    plan as literals — whole-stage codegen, zero added shuffle."""
+    from py_image_toolkit_spark.operators.web import url_filter
+
+    return url_filter(
+        _urls_df(spark, sf_dir),
+        blocked_hosts=_BLOCKED_HOSTS,
+        blocked_url_patterns=_BLOCKED_PATTERNS,
+    ).orderBy("doc_id")
+
+
+# deterministic stand-in for a trained-then-quantized weight vector (Knuth
+# multiplicative spread over 256 md5-nibble buckets, range ±500)
+_QMODEL_WEIGHTS = [((i * 2654435761) % 1001) - 500 for i in range(256)]
+_QMODEL_BIAS = 1000
+
+_BUCKET_SQL = (
+    "(instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)"
+)
+
+
+@register(
+    "q62_quality_model_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.tok AS tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             AS t(tok)
+    ),
+    scored AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(({_QMODEL_WEIGHTS})[{_BUCKET_SQL} + 1])
+                  + {_QMODEL_BIAS} AS BIGINT) AS score
+      FROM toks GROUP BY doc_id
+    ),
+    full_t AS (
+      SELECT d.doc_id,
+             COALESCE(s.n_tokens, 0) AS n_tokens,
+             COALESCE(s.score, {_QMODEL_BIAS}) AS score
+      FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(score AS BIGINT) AS score,
+           CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+    FROM full_t ORDER BY doc_id
+    """,
+)
+def q62(spark, sf_dir):
+    """Model-based quality gating (operators/text_stats.py
+    hashed_linear_score): fastText-style linear classifier inference via
+    the hashing trick — md5-nibble token buckets, one integer weight per
+    bucket folded into the plan as an array literal, document score one
+    map-side-combinable groupBy. No vocabulary table, no joins, no Python
+    — how production pipelines afford model gating on every crawled
+    page."""
+    from py_image_toolkit_spark.operators.text_stats import hashed_linear_score
+
+    return hashed_linear_score(
+        t(spark, sf_dir, "documents"),
+        weights=_QMODEL_WEIGHTS,
+        bias=_QMODEL_BIAS,
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # E. flagship: the full extraction pipeline over pages built from the
 #    driver's documents table (rows-only driver check; byte-parity vs the

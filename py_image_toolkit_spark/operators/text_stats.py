@@ -305,3 +305,62 @@ def pack_sequences(
             (start % budget).cast("long").alias("pack_offset"),
         )
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: list[int],
+    bias: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """FastText-style quality classifier INFERENCE at corpus scale via the
+    hashing trick: every token maps to a bucket by md5 (no vocabulary
+    lookup table), the model is one integer weight per bucket, and the
+    document score is ``bias + Σ_tokens weight[bucket(token)]`` with
+    verdict ``keep`` iff score >= 0.
+
+    ``len(weights)`` must be a power of 16 (buckets come from md5 hex
+    nibbles); integer weights (train in floats, then quantize — q40's
+    trick) make scores bit-reproducible across engines.
+
+    Scale posture (100 TB): the weight table folds into the plan as an
+    array literal (a 2^18-bucket int8 model is ~256 KB — broadcast-free),
+    bucketing + lookup are whole-stage codegen, and the per-doc sum is one
+    map-side-combinable groupBy. No joins, no vocabulary shuffle — this is
+    why production pipelines (CCNet, LLaMA) can afford model-based quality
+    gating on every crawled page.
+    """
+    dim = len(weights)
+    n_nibs = 0
+    while 16 ** (n_nibs + 1) <= dim:
+        n_nibs += 1
+    if 16 ** n_nibs != dim:
+        raise ValueError(f"len(weights) must be a power of 16, got {dim}")
+    # explode_outer keeps empty documents as a single NULL-token row, so
+    # one aggregation covers the whole corpus — no restore join anywhere
+    toks = df.select(
+        F.col(id_col), F.explode_outer(tokens_array(F.col(text_col))).alias("tok")
+    )
+    h = _md5(F.col("tok"))
+    bucket = F.lit(0)
+    for n in range(n_nibs):
+        nib = F.instr(F.lit("0123456789abcdef"), F.substring(h, n + 1, 1)) - 1
+        bucket = bucket * 16 + nib
+    w = F.when(F.col("tok").isNull(), F.lit(0)).otherwise(
+        F.element_at(F.lit(weights), bucket.cast("int") + 1)
+    ).cast("long")
+    return (
+        toks.select(F.col(id_col), F.col("tok"), w.alias("_w"))
+        .groupBy(id_col)
+        .agg(
+            F.count("tok").cast("long").alias("n_tokens"),
+            (F.sum("_w") + F.lit(int(bias))).cast("long").alias("score"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "score",
+            F.when(F.col("score") >= 0, "keep").otherwise("drop").alias("verdict"),
+        )
+    )

@@ -20,6 +20,9 @@ cluster.py / text_stats.py).
                        sample that is REPRODUCIBLE across engines and runs
                        (no rand(), no seed plumbing), and co-samples the
                        same keys in every derived table.
+- url_filter         : UT1/RefinedWeb-style blocklist gating — domain-
+                       suffix host rules + URL regex rules, first match
+                       wins in list order, verdict + matched rule per row.
 
 Every operator is Column-only and cross-engine reproducible (the q37-q39
 DuckDB oracles apply byte-identical expressions).
@@ -121,3 +124,54 @@ def hash_sample(
     threshold = "g" if t >= 16**8 else format(t, "08x")
     pfx = F.substring(F.md5(F.col(key_col).cast("string").cast("binary")), 1, 8)
     return df.filter(pfx < F.lit(threshold))
+
+
+def url_filter(
+    df: DataFrame,
+    blocked_hosts: tuple[str, ...] = (),
+    blocked_url_patterns: tuple[str, ...] = (),
+    url_col: str = "url",
+) -> DataFrame:
+    """Blocklist gating of a crawl by URL — the UT1-blocklist curation
+    stage. Two rule families, first match wins in list order:
+
+    - ``blocked_hosts``: domain suffixes — a row is blocked when its host
+      equals the entry or ends with ``"." + entry`` (so ``example.com``
+      blocks ``www.example.com`` but never ``notexample.com``);
+    - ``blocked_url_patterns``: regexes tested against the FULL url (keep
+      them in the regex subset Java and RE2 agree on — char classes,
+      anchors, alternation — since the oracle replays them in DuckDB).
+
+    Host rules take precedence over pattern rules. Returns every input row
+    plus ``host``, ``verdict`` (``blocked_host`` / ``blocked_pattern`` /
+    ``kept``) and the first matching ``rule`` (NULL when kept) — verdict
+    rows rather than a silent filter, so the drop REASON lands in corpus
+    lineage and rule hit-rates are one groupBy away.
+
+    Scale posture (10^12 urls): blocklists are literals folded into the
+    plan (broadcast-free, whole-stage codegen) — real UT1 lists are a few
+    MB, well inside codegen limits chunked across ``when`` chains; the
+    operator adds no shuffle at all.
+    """
+    host = host_of(F.col(url_col))
+    host_rule = F.lit(None).cast("string")
+    for b in reversed(blocked_hosts):
+        hit = (F.col("host") == b) | F.col("host").endswith("." + b)
+        host_rule = F.when(hit, F.lit(b)).otherwise(host_rule)
+    pat_rule = F.lit(None).cast("string")
+    for p in reversed(blocked_url_patterns):
+        pat_rule = F.when(F.col(url_col).rlike(p), F.lit(p)).otherwise(pat_rule)
+    return (
+        df.withColumn("host", host)
+        .withColumn("_hr", host_rule)
+        .withColumn("_pr", pat_rule)
+        .select(
+            *df.columns,
+            "host",
+            F.when(F.col("_hr").isNotNull(), "blocked_host")
+            .when(F.col("_pr").isNotNull(), "blocked_pattern")
+            .otherwise("kept")
+            .alias("verdict"),
+            F.coalesce(F.col("_hr"), F.col("_pr")).alias("rule"),
+        )
+    )

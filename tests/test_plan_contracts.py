@@ -180,3 +180,53 @@ def test_bucketed_join_and_agg_are_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_vocab_topk_uses_per_partition_topk_not_global_sort(spark):
+    from py_image_toolkit_spark.operators.corpus import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 3) for i in range(30)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(vocab_topk(docs, k=10))
+    # ORDER BY + LIMIT over the vocabulary must compile to per-partition
+    # top-k with a driver merge, never a full sort shuffle of all tokens
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pagerank_rounds_are_keyed_equijoins(spark):
+    from py_image_toolkit_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(f"h{i}", f"h{(i * 3 + 1) % 17}") for i in range(40)],
+        "src string, dst string",
+    )
+    plan = plan_of(pagerank(edges, iterations=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_url_filter_adds_no_shuffle(spark):
+    from py_image_toolkit_spark.operators.web import url_filter
+
+    df = spark.createDataFrame(
+        [(i, f"https://h{i}.com/p") for i in range(10)], "doc_id long, url string"
+    )
+    plan = plan_of(url_filter(df, blocked_hosts=("h1.com",), blocked_url_patterns=("x$",)))
+    # blocklists are plan literals: the verdict stage is pure codegen
+    assert "Exchange" not in plan
+
+
+def test_hashed_linear_score_has_single_aggregation_no_join_on_tokens(spark):
+    from py_image_toolkit_spark.operators.text_stats import hashed_linear_score
+
+    df = spark.createDataFrame(
+        [(i, "some words here") for i in range(10)], "doc_id long, text string"
+    )
+    plan = plan_of(hashed_linear_score(df, weights=[1] * 256))
+    # the weight lookup must be an array-literal element_at, never a join
+    # against a weights table — and explode_outer keeps empty docs inside
+    # the single aggregation, so the whole plan is join-free
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") <= 2  # partial + final of ONE groupBy

@@ -81,3 +81,46 @@ def test_pack_sequences_offsets_within_budget(spark):
     rows = pack_sequences(df, budget=32).collect()
     assert all(0 <= r["pack_offset"] < 32 for r in rows)
     assert len({(r["pack_id"], r["pack_offset"]) for r in rows}) == len(rows)
+
+
+def test_hashed_linear_score_brute_force(spark):
+    import hashlib
+
+    from py_image_toolkit_spark.operators.text_stats import hashed_linear_score
+
+    weights = [((i * 2654435761) % 1001) - 500 for i in range(256)]
+    bias = 7
+    rows = [
+        (1, "the cat sat"),
+        (2, "entirely different words appear here"),
+        (3, ""),            # empty doc scores exactly the bias
+        (4, "the the the"), # repeated token sums its weight 3x
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_tokens, r.score, r.verdict)
+        for r in hashed_linear_score(df, weights=weights, bias=bias).collect()
+    }
+
+    def bucket(tok):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return int(h[0], 16) * 16 + int(h[1], 16)
+
+    for doc_id, text in rows:
+        toks = text.split()
+        score = bias + sum(weights[bucket(t)] for t in toks)
+        assert out[doc_id] == (
+            len(toks),
+            score,
+            "keep" if score >= 0 else "drop",
+        ), doc_id
+
+
+def test_hashed_linear_score_rejects_bad_dim(spark):
+    import pytest as _pytest
+
+    from py_image_toolkit_spark.operators.text_stats import hashed_linear_score
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        hashed_linear_score(df, weights=[1, 2, 3])

@@ -104,3 +104,43 @@ def test_canonical_url_is_idempotent(spark):
     ).collect()
     bad = [(r["c1"], r["c2"]) for r in out if r["c1"] != r["c2"]]
     assert not bad, bad[:5]
+
+
+def test_url_filter_verdicts_and_precedence(spark):
+    from py_image_toolkit_spark.operators.web import url_filter
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.bad.com/x"),        # suffix match on bad.com
+            (2, "https://bad.com/y"),            # exact host match
+            (3, "https://notbad.com/z"),         # NOT a suffix match
+            (4, "https://ok.com/download.exe"),  # pattern match
+            (5, "https://bad.com/download.exe"), # host rule wins over pattern
+            (6, "https://ok.com/fine"),          # kept
+            (7, "https://first.com/download.exe"),  # first host rule in list order
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r.doc_id: (r.verdict, r.rule)
+        for r in url_filter(
+            df,
+            blocked_hosts=("first.com", "bad.com"),
+            blocked_url_patterns=("[.]exe$", "[.]zip$"),
+        ).collect()
+    }
+    assert out[1] == ("blocked_host", "bad.com")
+    assert out[2] == ("blocked_host", "bad.com")
+    assert out[3][0] == "kept" and out[3][1] is None
+    assert out[4] == ("blocked_pattern", "[.]exe$")
+    assert out[5] == ("blocked_host", "bad.com")
+    assert out[6] == ("kept", None)
+    assert out[7] == ("blocked_host", "first.com")
+
+
+def test_url_filter_empty_lists_keep_everything(spark):
+    from py_image_toolkit_spark.operators.web import url_filter
+
+    df = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
+    row = url_filter(df).collect()[0]
+    assert (row.verdict, row.rule, row.host) == ("kept", None, "a.com")
