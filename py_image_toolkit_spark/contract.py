@@ -2901,6 +2901,398 @@ def q62(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# head-metadata pages: tags present/absent/mixed-case by deterministic
+# doc_id residues so every extract_meta branch (incl. NULL paths and the
+# empty-title → NULL rule) is exercised
+_META_PAGES_SQL = """
+meta_pages AS (
+  SELECT doc_id,
+         'https://meta-' || CAST(doc_id % 20 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '<html><head>'
+         || CASE WHEN doc_id % 10 = 2 THEN '<title></title>'
+                 WHEN doc_id % 5 = 0 THEN ''
+                 WHEN doc_id % 3 = 0 THEN '<TITLE>Doc '
+                      || CAST(doc_id AS VARCHAR) || '</TITLE>'
+                 ELSE '<title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+            END
+         || CASE WHEN doc_id % 4 = 1 THEN ''
+                 ELSE '<meta name="description" content="Desc '
+                      || CAST((doc_id * 7) % 100 AS VARCHAR) || '">'
+            END
+         || CASE WHEN doc_id % 6 = 0 THEN '<link rel="canonical" '
+                      || 'href="https://meta-' || CAST(doc_id % 20 AS VARCHAR)
+                      || '.example/canon/' || CAST(doc_id % 33 AS VARCHAR) || '">'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN '<meta property="og:title" '
+                      || 'content="OG ' || CAST(doc_id AS VARCHAR) || '">'
+                 ELSE '' END
+         || CASE WHEN doc_id % 8 = 0 THEN
+                      '<meta name="robots" content="noindex, nofollow">'
+                 WHEN doc_id % 8 = 4 THEN
+                      '<meta name="robots" content="index, follow">'
+                 ELSE '' END
+         || '</head><body><p>' || text || '</p></body></html>' AS html
+  FROM documents
+)
+"""
+
+
+def _meta_pages(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    title = (
+        F.when(F.col("doc_id") % 10 == 2, "<title></title>")
+        .when(F.col("doc_id") % 5 == 0, "")
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("<TITLE>Doc "), did, F.lit("</TITLE>")),
+        )
+        .otherwise(F.concat(F.lit("<title>Doc "), did, F.lit("</title>")))
+    )
+    desc = F.when(F.col("doc_id") % 4 == 1, "").otherwise(
+        F.concat(
+            F.lit('<meta name="description" content="Desc '),
+            ((F.col("doc_id") * 7) % 100).cast("string"),
+            F.lit('">'),
+        )
+    )
+    canon = F.when(
+        F.col("doc_id") % 6 == 0,
+        F.concat(
+            F.lit('<link rel="canonical" href="https://meta-'),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example/canon/"),
+            (F.col("doc_id") % 33).cast("string"),
+            F.lit('">'),
+        ),
+    ).otherwise("")
+    og = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit('<meta property="og:title" content="OG '), did, F.lit('">')),
+    ).otherwise("")
+    robots = (
+        F.when(
+            F.col("doc_id") % 8 == 0,
+            '<meta name="robots" content="noindex, nofollow">',
+        )
+        .when(
+            F.col("doc_id") % 8 == 4,
+            '<meta name="robots" content="index, follow">',
+        )
+        .otherwise("")
+    )
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://meta-"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example/p/"),
+            did,
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><head>"),
+            title,
+            desc,
+            canon,
+            og,
+            robots,
+            F.lit("</head><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+
+
+@register(
+    "q63_html_metadata",
+    f"""
+    WITH {_META_PAGES_SQL}
+    SELECT doc_id, url,
+           NULLIF(regexp_extract(html, '(?i)<title[^>]*>([^<]*)</title>', 1),
+                  '') AS title,
+           NULLIF(regexp_extract(html,
+             '(?i)<meta name="description" content="([^"]*)"', 1), '')
+             AS description,
+           NULLIF(regexp_extract(html,
+             '(?i)<link rel="canonical" href="([^"]*)"', 1), '') AS canonical,
+           NULLIF(regexp_extract(html,
+             '(?i)<meta property="og:title" content="([^"]*)"', 1), '')
+             AS og_title,
+           COALESCE(regexp_matches(lower(NULLIF(regexp_extract(html,
+             '(?i)<meta name="robots" content="([^"]*)"', 1), '')),
+             '(^|[, ])noindex([, ]|$)'), FALSE) AS noindex
+    FROM meta_pages ORDER BY doc_id
+    """,
+)
+def q63(spark, sf_dir):
+    """Head-metadata extraction (operators/html_meta.py): title /
+    description / canonical / og:title / robots-noindex mined from raw
+    HTML by five codegen regexp passes — the sidecar fields a production
+    extractor (trafilatura-class) emits next to main content, and the
+    compliance gate (noindex) that drops pages from training corpora.
+    Map-side only; the html column never shuffles."""
+    from py_image_toolkit_spark.operators.html_meta import extract_meta
+
+    return extract_meta(_meta_pages(spark, sf_dir)).orderBy("doc_id")
+
+
+# anchor pages: absolute + relative links with doc-dependent anchor text,
+# an empty-anchor variant (dropped) and an image-link variant (regex
+# intentionally non-matching)
+_ANCHOR_PAGES_SQL = """
+anchor_pages AS (
+  SELECT doc_id,
+         'https://a' || CAST(doc_id % 15 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         '<p>intro</p><a href="https://a'
+           || CAST((doc_id * 3 + 1) % 15 AS VARCHAR) || '.example/x">'
+           || CASE WHEN doc_id % 3 = 0 THEN 'click here'
+                   ELSE 'Doc ' || CAST(doc_id % 50 AS VARCHAR) END
+           || '</a><a href="/local">'
+           || CASE WHEN doc_id % 4 = 0 THEN '' ELSE 'more' END
+           || '</a>'
+           || CASE WHEN doc_id % 5 = 0
+                   THEN '<a href="https://img.example/i"><img src="x"></a>'
+                   ELSE '' END AS html
+  FROM documents
+)
+"""
+
+
+def _anchor_pages(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    anchor1 = F.when(F.col("doc_id") % 3 == 0, F.lit("click here")).otherwise(
+        F.concat(F.lit("Doc "), (F.col("doc_id") % 50).cast("string"))
+    )
+    anchor2 = F.when(F.col("doc_id") % 4 == 0, "").otherwise("more")
+    img = F.when(
+        F.col("doc_id") % 5 == 0,
+        '<a href="https://img.example/i"><img src="x"></a>',
+    ).otherwise("")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://a"),
+            (F.col("doc_id") % 15).cast("string"),
+            F.lit(".example/p/"),
+            did,
+        ).alias("url"),
+        F.concat(
+            F.lit('<p>intro</p><a href="https://a'),
+            ((F.col("doc_id") * 3 + 1) % 15).cast("string"),
+            F.lit('.example/x">'),
+            anchor1,
+            F.lit('</a><a href="/local">'),
+            anchor2,
+            F.lit("</a>"),
+            img,
+        ).alias("html"),
+    )
+
+
+@register(
+    "q64_anchor_texts",
+    f"""
+    WITH {_ANCHOR_PAGES_SQL},
+    els AS (
+      SELECT regexp_extract(url, '^https?://([^/:?#]+)', 1) AS src, e.el
+      FROM anchor_pages,
+           UNNEST(regexp_extract_all(html,
+             '<a href="[^"]*"[^>]*>[^<]*</a>', 0)) AS e(el)
+    ),
+    triples AS (
+      SELECT src,
+             CASE WHEN regexp_matches(regexp_extract(el, 'href="([^"]*)"', 1),
+                                      '^https?://')
+                  THEN regexp_extract(regexp_extract(el, 'href="([^"]*)"', 1),
+                                      '^https?://([^/:?#]+)', 1)
+                  ELSE src END AS dst,
+             regexp_extract(el, '>([^<]*)</a>$', 1) AS anchor
+      FROM els
+    )
+    SELECT src, dst, anchor, CAST(COUNT(*) AS BIGINT) AS n
+    FROM triples WHERE anchor <> '' AND dst <> ''
+    GROUP BY src, dst, anchor ORDER BY src, dst, anchor
+    """,
+)
+def q64(spark, sf_dir):
+    """Anchor-text corpus (operators/graph.py anchor_texts): what pages
+    SAY about the pages they link to — (src_host, dst_host, anchor, n)
+    mined by one codegen regexp pass over whole <a> elements; relative
+    hrefs resolve to the source host, empty anchors and markup-bearing
+    anchors drop out. The only shuffle is the map-side-combinable triple
+    count — the html column never moves."""
+    from py_image_toolkit_spark.operators.graph import anchor_texts
+
+    return anchor_texts(_anchor_pages(spark, sf_dir)).orderBy(
+        "src", "dst", "anchor"
+    )
+
+
+# dirty-text fixture: deterministic unicode grime (ZWSP prefix, C0 + NBSP
+# tail, ZWNJ stuffing after every 'e', double spaces) keyed on doc_id
+_DIRTY_SQL = """
+dirty AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN chr(8203) ELSE '' END
+         || ' ' || CASE WHEN doc_id % 5 = 0
+                        THEN replace(text, 'e', 'e' || chr(8204))
+                        ELSE text END
+         || CASE WHEN doc_id % 4 = 0 THEN chr(1) || chr(160) || 'tail'
+                 ELSE '' END AS text
+  FROM documents
+)
+"""
+
+
+@register(
+    "q65_clean_text",
+    f"""
+    WITH {_DIRTY_SQL},
+    cleaned AS (
+      SELECT doc_id, text AS raw,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(text,
+                 '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                 '[\\x{{200B}}\\x{{200C}}\\x{{200D}}\\x{{FEFF}}]', '', 'g'),
+                 '[\\x{{A0}}\\x{{2000}}-\\x{{200A}}\\x{{202F}}\\x{{205F}}\\x{{3000}}]',
+                 ' ', 'g'),
+                 '[ \\t]+', ' ', 'g')) AS text
+      FROM dirty
+    )
+    SELECT doc_id, text,
+           CAST(length(raw) AS BIGINT) AS n_chars_raw,
+           CAST(length(text) AS BIGINT) AS n_chars_clean
+    FROM cleaned ORDER BY doc_id
+    """,
+)
+def q65(spark, sf_dir):
+    """Unicode hygiene (operators/text_stats.py clean_text): control-char
+    and zero-width strip, exotic-space normalization, whitespace-run
+    collapse — the pass between extraction and tokenization, with
+    raw/clean char counts kept for lineage. Spark applies literal-char
+    classes, the oracle the equivalent RE2 escape classes; both are four
+    map-side codegen regexp_replace calls, zero shuffle."""
+    from py_image_toolkit_spark.operators.text_stats import clean_text
+
+    d = t(spark, sf_dir, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, "​").otherwise(""),
+            F.lit(" "),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.regexp_replace(F.col("text"), "e", "e‌"),
+            ).otherwise(F.col("text")),
+            F.when(
+                F.col("doc_id") % 4 == 0, " tail"
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return clean_text(dirty).orderBy("doc_id")
+
+
+@register(
+    "q66_host_cap",
+    f"""
+    WITH {_URLS_SQL},
+    hosted AS (
+      SELECT doc_id, lower(regexp_replace(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$', ''))
+               AS host
+      FROM urls
+    ),
+    ranked AS (
+      SELECT doc_id, host,
+             ROW_NUMBER() OVER (PARTITION BY host
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS host_rank
+      FROM hosted
+    )
+    SELECT doc_id, host, CAST(host_rank AS BIGINT) AS host_rank
+    FROM ranked WHERE host_rank <= 20 ORDER BY doc_id
+    """,
+)
+def q66(spark, sf_dir):
+    """Per-host document cap (operators/web.py host_cap): at most N pages
+    per host survive, in deterministic md5(id) order — RefinedWeb-style
+    protection against one domain dominating the corpus. Delegates to the
+    two-phase stratified rank (16 hash sub-buckets + broadcast base
+    offsets), so the hot host this operator exists to tame never funnels
+    through a single partition."""
+    from py_image_toolkit_spark.operators.web import host_cap
+
+    return host_cap(_urls_df(spark, sf_dir), cap=20).select(
+        "doc_id", "host", "host_rank"
+    ).orderBy("doc_id")
+
+
+# recrawl fixture: ~1.6 captures per url on average, timestamps derived
+# from an integer epoch so both engines hash identical BIGINT seconds
+_CAPTURES_SQL = """
+captures AS (
+  SELECT doc_id,
+         'https://c' || CAST(doc_id % 13 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id % 97 AS VARCHAR) AS url,
+         to_timestamp(1704067200 + ((doc_id * 37) % 365) * 86400) AS warc_ts,
+         n_chars, lang
+  FROM documents
+)
+"""
+
+
+@register(
+    "q67_latest_capture",
+    f"""
+    WITH {_CAPTURES_SQL},
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url
+               ORDER BY warc_ts DESC, doc_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY url) AS n_captures
+      FROM captures
+    )
+    SELECT url, doc_id, CAST(epoch(warc_ts) AS BIGINT) AS ts_epoch,
+           n_chars, lang, CAST(n_captures AS BIGINT) AS n_captures
+    FROM ranked WHERE rn = 1 ORDER BY url
+    """,
+)
+def q67(spark, sf_dir):
+    """Recrawl collapse (operators/web.py latest_capture): Common Crawl
+    snapshots the same URL crawl after crawl — keep exactly the newest
+    capture per URL (ties broken by id), with the collapsed snapshot count
+    kept for lineage. One max_by groupBy on the url key (map-side
+    combinable) — no corpus-wide window, no self-join against a latest-ts
+    table; the oracle uses the window formulation to prove the groupBy
+    path equivalent."""
+    from py_image_toolkit_spark.operators.web import latest_capture
+
+    d = t(spark, sf_dir, "documents")
+    captures = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://c"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example/p/"),
+            (F.col("doc_id") % 97).cast("string"),
+        ).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + ((F.col("doc_id") * 37) % 365) * 86400
+        ).alias("warc_ts"),
+        "n_chars",
+        "lang",
+    )
+    return latest_capture(captures).select(
+        "url",
+        "doc_id",
+        F.unix_timestamp(F.col("warc_ts")).cast("long").alias("ts_epoch"),
+        "n_chars",
+        "lang",
+        "n_captures",
+    ).orderBy("url")
+
+
 # --------------------------------------------------------------------------
 # E. flagship: the full extraction pipeline over pages built from the
 #    driver's documents table (rows-only driver check; byte-parity vs the

@@ -364,3 +364,51 @@ def hashed_linear_score(
             F.when(F.col("score") >= 0, "keep").otherwise("drop").alias("verdict"),
         )
     )
+
+
+# Unicode hygiene classes, built from codepoints so the source stays
+# printable; at runtime each is a class of LITERAL chars — the identical
+# pattern string compiles in both Java regex (Spark) and RE2 (the DuckDB
+# oracle), with no engine-specific escape syntax anywhere.
+CTRL_CLASS = "[" + "".join(
+    chr(c) for c in (*range(0x00, 0x09), 0x0B, 0x0C, *range(0x0E, 0x20), 0x7F)
+) + "]"
+ZWSP_CLASS = "[" + "".join(chr(c) for c in (0x200B, 0x200C, 0x200D, 0xFEFF)) + "]"
+SPACE_CLASS = (
+    "[" + chr(0xA0) + chr(0x2000) + "-" + chr(0x200A)
+    + chr(0x202F) + chr(0x205F) + chr(0x3000) + "]"
+)
+
+
+def clean_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode hygiene for crawled text — the normalization pass between
+    extraction and tokenization. Four deterministic rewrites, in order:
+
+    1. control chars (C0 minus tab/newline/CR, plus DEL) → removed,
+    2. zero-width chars (ZWSP/ZWNJ/ZWJ/BOM) → removed,
+    3. exotic unicode spaces (NBSP, en/em/thin/ideographic …) → ASCII
+       space,
+    4. horizontal whitespace runs → one space; text trimmed.
+
+    Emits ``text`` (cleaned, replacing the input column) plus
+    ``n_chars_raw`` / ``n_chars_clean`` so corpus lineage records how much
+    each document was touched (a high strip ratio is itself a junk
+    signal).
+
+    Scale posture (100 TB): a chain of four codegen regexp_replace calls,
+    map-side only — no shuffle, no Python.
+    """
+    raw = F.col(text_col)
+    cleaned = F.regexp_replace(raw, CTRL_CLASS, "")
+    cleaned = F.regexp_replace(cleaned, ZWSP_CLASS, "")
+    cleaned = F.regexp_replace(cleaned, SPACE_CLASS, " ")
+    cleaned = F.trim(F.regexp_replace(cleaned, "[ \t]+", " "))
+    keep = [c for c in df.columns if c != text_col]
+    return df.select(
+        *keep,
+        cleaned.alias(text_col),
+        F.length(raw).cast("long").alias("n_chars_raw"),
+        F.length(cleaned).cast("long").alias("n_chars_clean"),
+    )

@@ -175,3 +175,59 @@ def url_filter(
             F.coalesce(F.col("_hr"), F.col("_pr")).alias("rule"),
         )
     )
+
+
+def host_cap(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-host document cap — RefinedWeb/C4-style protection against any
+    single site dominating the corpus: at most ``cap`` documents per host
+    survive, chosen deterministically (md5(id) order, so reruns and other
+    engines keep the SAME documents).
+
+    This is exact-quota stratified sampling with host as the stratum, so
+    it delegates to ``corpus.stratified_sample``'s two-phase rank — a hot
+    host (40% of a crawl can be one domain) is ranked across 16 parallel
+    hash sub-buckets rather than funneling through one partition, which is
+    precisely the skew this operator exists to correct. Returns the kept
+    rows with their in-host rank attached.
+    """
+    from py_image_toolkit_spark.operators.corpus import stratified_sample
+
+    hosted = df.withColumn("host", host_of(F.col(url_col)))
+    kept = stratified_sample(
+        hosted, strata_col="host", default_quota=cap, id_col=id_col
+    ).select(id_col, F.col("stratum_rank").alias("host_rank"))
+    return hosted.join(kept, id_col)
+
+
+def latest_capture(
+    df: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Recrawl collapse: Common Crawl captures the same URL in crawl after
+    crawl; training corpora keep ONE capture per URL — the newest, with
+    ties broken by id so the winner is deterministic. Adds ``n_captures``
+    (how many snapshots collapsed) for lineage.
+
+    Scale posture (10^12 captures): one groupBy on the key with max_by
+    over a (ts, id) struct — a single map-side-combinable shuffle; no
+    window over the corpus, no self-join against a "latest ts" table.
+    """
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    order = F.struct(F.col(ts_col), F.col(id_col))
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.max_by(payload, order).alias("_r"),
+            F.count(F.lit(1)).cast("long").alias("n_captures"),
+        )
+        .select(
+            *[F.col("_r." + c).alias(c) for c in df.columns], "n_captures"
+        )
+    )

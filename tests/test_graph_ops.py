@@ -80,3 +80,30 @@ def test_pagerank_zero_iterations_is_uniform(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     out = {r.node: r.rank_micro for r in pagerank(df, iterations=0).collect()}
     assert out == {"a": 1_000_000, "b": 1_000_000}
+
+
+def test_anchor_texts_triples(spark):
+    from py_image_toolkit_spark.operators.graph import anchor_texts
+
+    pages = [
+        (
+            "https://s1.example/p/1",
+            '<a href="https://t.example/x">read this</a>'
+            '<a href="/rel">local link</a>'
+            '<a href="https://t.example/y"></a>'          # empty anchor drops
+            '<a href="https://i.example/z"><img src="a"></a>',  # markup anchor
+        ),
+        (
+            "https://s1.example/p/2",
+            '<a href="https://t.example/x">read this</a>',  # repeat → n=2
+        ),
+        ("https://s2.example/p/3", "<p>no links</p>"),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    out = {
+        (r.src, r.dst, r.anchor): r.n for r in anchor_texts(df).collect()
+    }
+    assert out == {
+        ("s1.example", "t.example", "read this"): 2,
+        ("s1.example", "s1.example", "local link"): 1,
+    }

@@ -1,0 +1,73 @@
+"""Unit tests for head-metadata extraction (operators/html_meta.py)."""
+
+from py_image_toolkit_spark.operators.html_meta import extract_meta
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, url string, html string")
+
+
+def test_extract_meta_fields(spark):
+    rows = [
+        (
+            1,
+            "https://a.example/1",
+            '<html><head><title>Hello</title>'
+            '<meta name="description" content="A page">'
+            '<link rel="canonical" href="https://a.example/c">'
+            '<meta property="og:title" content="OG Hello">'
+            '<meta name="robots" content="noindex, nofollow">'
+            "</head><body>x</body></html>",
+        ),
+        # mixed-case tags must still match ((?i) patterns)
+        (2, "https://a.example/2", "<HTML><HEAD><TITLE>Caps</TITLE></HEAD>"),
+        # empty title → NULL, robots without noindex → false
+        (
+            3,
+            "https://a.example/3",
+            '<title></title><meta name="robots" content="index, follow">',
+        ),
+        # nothing at all
+        (4, "https://a.example/4", "<p>no head</p>"),
+        # noindex must match as a token, not a substring
+        (
+            5,
+            "https://a.example/5",
+            '<meta name="robots" content="nonoindexing">',
+        ),
+    ]
+    out = {
+        r.doc_id: r for r in extract_meta(_pages(spark, rows)).collect()
+    }
+    assert out[1].title == "Hello"
+    assert out[1].description == "A page"
+    assert out[1].canonical == "https://a.example/c"
+    assert out[1].og_title == "OG Hello"
+    assert out[1].noindex is True
+    assert out[2].title == "Caps"
+    assert out[2].noindex is False
+    assert out[3].title is None
+    assert out[3].noindex is False
+    assert out[4].title is None
+    assert out[4].description is None
+    assert out[4].canonical is None
+    assert out[4].og_title is None
+    assert out[4].noindex is False
+    assert out[5].noindex is False
+
+
+def test_extract_meta_keeps_passthrough_columns_drops_html(spark):
+    out = extract_meta(
+        _pages(spark, [(1, "https://a.example/1", "<title>t</title>")])
+    )
+    assert "html" not in out.columns
+    assert {"doc_id", "url", "title", "noindex"} <= set(out.columns)
+
+
+def test_extract_meta_adds_no_shuffle(spark):
+    from tests.test_plan_contracts import plan_of
+
+    plan = plan_of(
+        extract_meta(_pages(spark, [(1, "https://a.example/1", "x")]))
+    )
+    assert "Exchange" not in plan

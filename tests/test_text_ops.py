@@ -124,3 +124,38 @@ def test_hashed_linear_score_rejects_bad_dim(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         hashed_linear_score(df, weights=[1, 2, 3])
+
+
+def test_clean_text_rewrites(spark):
+    from py_image_toolkit_spark.operators.text_stats import clean_text
+
+    rows = [
+        (1, "plain text stays"),
+        (2, "a\x01b\x02c"),                    # control chars removed
+        (3, "a​b‌c‍d﻿e"),  # zero-width removed
+        (4, "a b c　d"),         # exotic spaces → ' '
+        (5, "  runs   of\t spaces  "),         # collapse + trim
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.text, r.n_chars_raw, r.n_chars_clean)
+        for r in clean_text(df).collect()
+    }
+    assert out[1] == ("plain text stays", 16, 16)
+    assert out[2] == ("abc", 5, 3)
+    assert out[3] == ("abcde", 9, 5)
+    assert out[4] == ("a b c d", 7, 7)
+    assert out[5] == ("runs of spaces", 21, 14)
+    assert out[6] == ("", 0, 0)
+
+
+def test_clean_text_preserves_newlines_and_other_columns(spark):
+    from py_image_toolkit_spark.operators.text_stats import clean_text
+
+    df = spark.createDataFrame(
+        [(1, "en", "line1\nline2\r\nline3")], "doc_id long, lang string, text string"
+    )
+    row = clean_text(df).collect()[0]
+    assert row.text == "line1\nline2\r\nline3"
+    assert row.lang == "en"

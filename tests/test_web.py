@@ -144,3 +144,68 @@ def test_url_filter_empty_lists_keep_everything(spark):
     df = spark.createDataFrame([(1, "https://a.com/x")], "doc_id long, url string")
     row = url_filter(df).collect()[0]
     assert (row.verdict, row.rule, row.host) == ("kept", None, "a.com")
+
+
+def test_host_cap_matches_serial_rank(spark):
+    import hashlib
+
+    from py_image_toolkit_spark.operators.web import host_cap
+
+    rows = [
+        (i, f"https://h{i % 3}.example/p/{i}") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id: (r.host, r.host_rank) for r in host_cap(df, cap=5).collect()}
+
+    # serial reference: per-host rank in (md5(id), id) order
+    by_host = {}
+    for i, url in rows:
+        by_host.setdefault(f"h{i % 3}.example", []).append(i)
+    want = {}
+    for host, ids in by_host.items():
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        for rank, i in enumerate(ids[:5], start=1):
+            want[i] = (host, rank)
+    assert out == want
+
+
+def test_latest_capture_keeps_newest_with_deterministic_ties(spark):
+    import datetime
+
+    from py_image_toolkit_spark.operators.web import latest_capture
+
+    ts = lambda d: datetime.datetime(2024, 1, d)  # noqa: E731
+    rows = [
+        (1, "https://a.example/p", ts(1), "old"),
+        (2, "https://a.example/p", ts(9), "new"),
+        (3, "https://b.example/p", ts(5), "tie-lo"),
+        (4, "https://b.example/p", ts(5), "tie-hi"),  # tie → max id wins
+        (5, "https://c.example/p", ts(2), "only"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts timestamp, text string"
+    )
+    out = {
+        r.url: (r.doc_id, r.text, r.n_captures)
+        for r in latest_capture(df).collect()
+    }
+    assert out == {
+        "https://a.example/p": (2, "new", 2),
+        "https://b.example/p": (4, "tie-hi", 2),
+        "https://c.example/p": (5, "only", 1),
+    }
+
+
+def test_latest_capture_is_single_aggregation(spark):
+    import datetime
+
+    from py_image_toolkit_spark.operators.web import latest_capture
+    from tests.test_plan_contracts import plan_of
+
+    df = spark.createDataFrame(
+        [(1, "u", datetime.datetime(2024, 1, 1))],
+        "doc_id long, url string, warc_ts timestamp",
+    )
+    plan = plan_of(latest_capture(df))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") <= 2 or "SortAggregate" in plan
