@@ -3293,6 +3293,179 @@ def q67(spark, sf_dir):
     ).orderBy("url")
 
 
+def _warc_blobs(spark, sf_dir):
+    """Deterministic WARC blobs built IN SPARK from documents (5 records
+    per blob, ASCII headers + UTF-8 HTML payloads, spec Content-Length
+    framing in octets) — so q68 exercises the real binary parse while the
+    oracle predicts its output from documents alone, never parsing."""
+    d = t(spark, sf_dir, "documents")
+    body = F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>"))
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nContent-Length: "),
+        F.octet_length(body).cast("string"),
+        F.lit("\r\n\r\n"),
+        body,
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://w"),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit(".example/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            "\r\nWARC-Date: 2024-01-02T03:04:05Z"
+            "\r\nContent-Type: application/http; msgtype=response"
+            "\r\nContent-Length: "
+        ),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+    return (
+        d.select((F.col("doc_id") / 5).cast("long").alias("blob_id"),
+                 F.struct("doc_id", rec.alias("rec")).alias("s"))
+        .groupBy("blob_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["rec"]
+                ),
+                "",
+            ).alias("blob_str")
+        )
+        .select("blob_id", F.encode(F.col("blob_str"), "UTF-8").alias("data"))
+    )
+
+
+@register(
+    "q68_warc_parse",
+    """
+    SELECT CAST(doc_id // 5 AS BIGINT) AS blob_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id // 5 ORDER BY doc_id)
+                - 1 AS INTEGER) AS record_idx,
+           'response' AS warc_type,
+           'https://w' || CAST(doc_id % 9 AS VARCHAR) || '.example/p/'
+             || CAST(doc_id AS VARCHAR) AS url,
+           '2024-01-02T03:04:05Z' AS warc_date,
+           'application/http; msgtype=response' AS content_type,
+           CAST(200 AS INTEGER) AS http_status,
+           '<html><body>' || text || '</body></html>' AS body,
+           TRUE AS ok
+    FROM documents ORDER BY blob_id, record_idx
+    """,
+)
+def q68(spark, sf_dir):
+    """WARC ingestion (sources/warc.py): the Common-Crawl container format
+    parsed into typed page rows — spec Content-Length framing (payloads
+    may contain the record separator), HTTP status/body split, per-blob
+    error containment — via one Arrow-batched mapInPandas stage (a binary
+    container parse is a sanctioned Pandas-UDF case, like the DOM
+    segmenter). Blobs are synthesized in Spark from documents; the oracle
+    predicts the parse output from documents directly, so a framing bug
+    anywhere (octet vs char lengths, separator handling, UTF-8 bodies)
+    breaks the hash."""
+    from py_image_toolkit_spark.sources.warc import warc_records
+
+    return (
+        warc_records(_warc_blobs(spark, sf_dir))
+        .select(
+            "blob_id",
+            "record_idx",
+            "warc_type",
+            "url",
+            "warc_date",
+            "content_type",
+            "http_status",
+            F.col("body").cast("string").alias("body"),
+            "ok",
+        )
+        .orderBy("blob_id", "record_idx")
+    )
+
+
+def _robots_df(spark):
+    """Per-host robots.txt bodies for the q69 fixture: a decoy group
+    (evilbot), a '*' group with Disallow /p/1, plus host-dependent extras —
+    a longer Allow (k%2), another Disallow (k%3), an equal-length
+    Allow/Disallow tie (k%5) and no-op lines (k%4: blank Disallow,
+    comment). The oracle predicts verdicts from (k, path) arithmetic, so
+    group scoping, no-op skipping, longest-match and the allow tie-break
+    must all be implemented correctly to match."""
+    k = F.col("id")
+    txt = F.concat(
+        F.lit("User-agent: evilbot\nDisallow: /\nUser-agent: *\nDisallow: /p/1\n"),
+        F.when(
+            k % 2 == 0,
+            F.concat(F.lit("Allow: /p/1"), (k % 10).cast("string"), F.lit("\n")),
+        ).otherwise(""),
+        F.when(k % 3 == 0, "Disallow: /p/2\n").otherwise(""),
+        F.when(k % 5 == 0, "Disallow: /p/3\nAllow: /p/3\n").otherwise(""),
+        F.when(k % 4 == 0, "Disallow:\n# note\n").otherwise(""),
+    )
+    return spark.range(40).select(
+        F.concat(F.lit("host-"), k.cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        txt.alias("robots_txt"),
+    )
+
+
+@register(
+    "q69_robots_gate",
+    f"""
+    WITH {_URLS_SQL},
+    paths AS (
+      SELECT doc_id, url,
+             lower(regexp_replace(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$', ''))
+               AS host,
+             CASE WHEN regexp_replace(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') = '' THEN '/'
+                  ELSE regexp_replace(url,
+                    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') END AS path
+      FROM urls
+    ),
+    keyed AS (
+      SELECT *, CAST(regexp_extract(host, 'host-([0-9]+)', 1) AS BIGINT) AS k
+      FROM paths
+    )
+    SELECT doc_id, url, host,
+           CASE WHEN k % 2 = 0
+                     AND starts_with(path, '/p/1' || CAST(k % 10 AS VARCHAR))
+                THEN TRUE
+                WHEN starts_with(path, '/p/1') THEN FALSE
+                WHEN k % 3 = 0 AND starts_with(path, '/p/2') THEN FALSE
+                WHEN k % 5 = 0 AND starts_with(path, '/p/3') THEN TRUE
+                ELSE TRUE END AS allowed,
+           CASE WHEN k % 2 = 0
+                     AND starts_with(path, '/p/1' || CAST(k % 10 AS VARCHAR))
+                THEN '/p/1' || CAST(k % 10 AS VARCHAR)
+                WHEN starts_with(path, '/p/1') THEN '/p/1'
+                WHEN k % 3 = 0 AND starts_with(path, '/p/2') THEN '/p/2'
+                WHEN k % 5 = 0 AND starts_with(path, '/p/3') THEN '/p/3'
+                END AS rule_path
+    FROM keyed ORDER BY doc_id
+    """,
+)
+def q69(spark, sf_dir):
+    """robots.txt compliance gating (operators/web.py robots_rules +
+    robots_gate): parse per-host robots bodies into a rule table (group
+    scoping by forward-fill, no-op/comment/other-agent lines dropped),
+    then gate the crawl — longest matching rule wins, Allow beats Disallow
+    on ties, no rule means allowed. The scale shape: pages join rules by
+    HOST equijoin (bounded fan-out), prefix tests filter map-side, one
+    max_by groupBy picks winners — the prefix match is never a join
+    predicate. The oracle predicts every verdict from (host, path)
+    arithmetic without parsing, so each parsing/precedence rule is load-
+    bearing for the hash."""
+    from py_image_toolkit_spark.operators.web import robots_gate, robots_rules
+
+    return robots_gate(
+        _urls_df(spark, sf_dir).select("doc_id", "url"),
+        robots_rules(_robots_df(spark)),
+    ).orderBy("doc_id")
+
+
 # --------------------------------------------------------------------------
 # E. flagship: the full extraction pipeline over pages built from the
 #    driver's documents table (rows-only driver check; byte-parity vs the

@@ -209,3 +209,93 @@ def test_latest_capture_is_single_aggregation(spark):
     plan = plan_of(latest_capture(df))
     assert "Join" not in plan
     assert plan.count("HashAggregate") <= 2 or "SortAggregate" in plan
+
+
+ROBOTS_TXT = """# crawl policy
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow:
+DISALLOW: /tmp
+
+User-agent: evilbot
+Disallow: /
+"""
+
+
+def test_robots_rules_parses_star_group_only(spark):
+    from py_image_toolkit_spark.operators.web import robots_rules
+
+    df = spark.createDataFrame(
+        [("a.example", ROBOTS_TXT)], "host string, robots_txt string"
+    )
+    out = {
+        (r.rule_path, r.is_allow): r.rule_len
+        for r in robots_rules(df).collect()
+    }
+    # comment, blank Disallow (allow-all no-op) and the evilbot group drop
+    assert out == {
+        ("/private", False): 8,
+        ("/private/ok", True): 11,
+        ("/tmp", False): 4,
+    }
+
+
+def test_robots_gate_longest_match_wins(spark):
+    from py_image_toolkit_spark.operators.web import robots_gate, robots_rules
+
+    robots = spark.createDataFrame(
+        [("a.example", ROBOTS_TXT)], "host string, robots_txt string"
+    )
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.example/public/x"),      # no rule → allowed
+            (2, "https://a.example/private/x"),     # Disallow /private
+            (3, "https://a.example/private/ok/x"),  # longer Allow wins
+            (4, "https://a.example/tmp"),           # exact prefix
+            (5, "https://b.example/private/x"),     # host without robots
+            (6, "https://a.example"),               # bare root path
+        ],
+        "doc_id long, url string",
+    )
+    out = {
+        r.doc_id: (r.allowed, r.rule_path)
+        for r in robots_gate(pages, robots_rules(robots)).collect()
+    }
+    assert out[1] == (True, None)
+    assert out[2] == (False, "/private")
+    assert out[3] == (True, "/private/ok")
+    assert out[4] == (False, "/tmp")
+    assert out[5] == (True, None)
+    assert out[6] == (True, None)
+
+
+def test_robots_gate_allow_beats_disallow_on_equal_length(spark):
+    from py_image_toolkit_spark.operators.web import robots_gate, robots_rules
+
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /dir\nAllow: /dir")],
+        "host string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [(1, "https://a.example/dir/page")], "doc_id long, url string"
+    )
+    row = robots_gate(pages, robots_rules(robots)).collect()[0]
+    assert (row.allowed, row.rule_path) == (True, "/dir")
+
+
+def test_robots_gate_plan_is_host_equijoin(spark):
+    from py_image_toolkit_spark.operators.web import robots_gate, robots_rules
+    from tests.test_plan_contracts import plan_of
+
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /x")],
+        "host string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [(1, "https://a.example/x")], "doc_id long, url string"
+    )
+    plan = plan_of(robots_gate(pages, robots_rules(robots)))
+    # the prefix test must never be a join condition
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
