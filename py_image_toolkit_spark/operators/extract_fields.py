@@ -263,15 +263,28 @@ def label_tokens_df(tokens: DataFrame, keys: Sequence[str] = ("url", "rule")) ->
     )
 
 
-def merge_runs_df(labeled: DataFrame, keys: Sequence[str] = ("url", "rule")) -> DataFrame:
+def merge_runs_df(
+    labeled: DataFrame,
+    keys: Sequence[str] = ("url", "rule"),
+    drop_label: str | None = None,
+) -> DataFrame:
     """D5/D6: sessionize-by-label-change, merge runs, conditional date
-    triples. Output: keys + (seq, text, label) merged stream."""
+    triples. Output: keys + (seq, text, label) merged stream.
+
+    ``drop_label`` discards that label's rows AFTER the sessionize window
+    (segment numbering still sees the full sequence, and segments are
+    label-homogeneous, so only whole segments disappear — surviving runs
+    are byte-identical). Callers that only pivot the labeled fields pass
+    'O': the filler label is the vast majority of tokens, and dropping it
+    here keeps it out of the merge agg + explode + pivot shuffles."""
     klist = [F.col(k) for k in keys]
     w_ord = Window.partitionBy(*keys).orderBy("seq")
     chg = F.when(
         F.lag("label").over(w_ord).isNull() | (F.lag("label").over(w_ord) != F.col("label")), 1
     ).otherwise(0)
     seg = labeled.withColumn("segment", F.sum(chg).over(w_ord))
+    if drop_label is not None:
+        seg = seg.filter(F.col("label") != drop_label)
 
     w_seg = Window.partitionBy(*keys, "segment").orderBy("seq")
     pos = F.row_number().over(w_seg)
@@ -339,7 +352,9 @@ def extract_fields_df(
     """text column → 6-field record per key group (the whole E3 stage)."""
     tokens = tokenize_df(df, keys, text_col)
     labeled = label_tokens_df(tokens, keys)
-    merged = merge_runs_df(labeled, keys)
+    # pivot reads only the six output-field labels; 'O' segments never
+    # reach the merge/pivot shuffles
+    merged = merge_runs_df(labeled, keys, drop_label="O")
     return pivot_fields_df(merged, keys)
 
 
