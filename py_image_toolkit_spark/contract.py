@@ -3532,3 +3532,91 @@ def q27(spark, sf_dir):
     return out.withColumn("spans", F.to_json(F.col("spans"))).withColumn(
         "warc_ts", F.col("warc_ts").cast("string")
     )
+
+
+# --------------------------------------------------------------------------
+# F. round-5 late additions: substring-span dedup (Lee et al. relational)
+# --------------------------------------------------------------------------
+
+def _span_dedup_fixture(spark, sf_dir) -> DataFrame:
+    """documents plus deterministic cross-document duplicated spans: every
+    5th doc carries a shared 12-word tail and every 7th a shared 10-word
+    head, so maximal duplicated runs exist at both text edges (and on the
+    %35 docs, both at once) regardless of the synthetic corpus's natural
+    overlap. Pure literals — the oracle rebuilds the same rows."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tail = (
+        " the quick brown fox jumps over the lazy dog near the riverbank"
+    )
+    head = "breaking news update from the global wire service desk today "
+    txt = F.col("text")
+    txt = F.when(F.col("doc_id") % 5 == 0, F.concat(txt, F.lit(tail))).otherwise(txt)
+    txt = F.when(F.col("doc_id") % 7 == 0, F.concat(F.lit(head), txt)).otherwise(txt)
+    return d.select("doc_id", txt.alias("text"))
+
+
+_SPAN_FIXTURE_SQL = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN 'breaking news update from the global wire service desk today '
+                  ELSE '' END ||
+             text ||
+             CASE WHEN doc_id % 5 = 0
+                  THEN ' the quick brown fox jumps over the lazy dog near the riverbank'
+                  ELSE '' END AS text
+      FROM documents
+"""
+
+
+@register(
+    "q70_substring_span_dedup",
+    f"""
+    WITH fixture AS ({_SPAN_FIXTURE_SQL}),
+    toks0 AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+      FROM fixture
+    ),
+    tok AS (
+      SELECT doc_id, i - 1 AS pos, arr[i] AS tok
+      FROM toks0, UNNEST(generate_series(1, len(arr))) AS t(i)
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(arr[i:i+7], ' ') AS g
+      FROM toks0, UNNEST(generate_series(1, len(arr) - 7)) AS t(i)
+      WHERE len(arr) >= 8
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+    starts AS (
+      SELECT DISTINCT doc_id, pos, 1 AS dstart
+      FROM grams WHERE g IN (SELECT g FROM dup)
+    ),
+    cov AS (
+      SELECT t.doc_id, t.pos, t.tok,
+             MAX(COALESCE(s.dstart, 0)) OVER (
+               PARTITION BY t.doc_id ORDER BY t.pos
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
+             ) AS covered
+      FROM tok t LEFT JOIN starts s ON t.doc_id = s.doc_id AND t.pos = s.pos
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(covered) AS BIGINT) AS dup_tokens,
+           CAST((1000000 * SUM(covered)) // COUNT(*) AS BIGINT) AS dup_micro,
+           COALESCE(string_agg(CASE WHEN covered = 0 THEN tok END, ' ' ORDER BY pos), '')
+             AS clean_text
+    FROM cov
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q70(spark, sf_dir):
+    """Exact duplicated-substring removal (operators/dedup.py
+    substring_span_dedup) — Lee et al. 2021's span-level dedup in
+    relational form: maximal runs of word 8-grams appearing in ≥2 distinct
+    docs are cut and the surviving token stream re-joined. The oracle
+    recomputes coverage with its own window algebra, so gram framing,
+    the k-1 lookback and span merging are all load-bearing for the hash.
+    Scale shape: gram groupBy + gram semi-join + (doc,pos) equijoin +
+    one doc window/agg — never doc × doc, no suffix array needed."""
+    return D.substring_span_dedup(
+        _span_dedup_fixture(spark, sf_dir), k=8, min_docs=2
+    ).orderBy("doc_id")

@@ -622,3 +622,88 @@ def ngram_novelty(
             F.expr("CAST(1000000 AS BIGINT) * novel_ngrams DIV total_ngrams"),
         )
     )
+
+
+def substring_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring removal, the span-level dedup of Lee et
+    al. 2021 ("Deduplicating Training Data Makes Language Models Better")
+    in relational form: any maximal run of word k-grams that appears in
+    ≥ ``min_docs`` distinct documents is cut from every document carrying
+    it, and the surviving tokens are re-joined.
+
+    Suffix arrays don't distribute; the equivalent relational shape does:
+
+      1. (doc, pos, gram) rows via ngram_pos_df (one doc-keyed window);
+      2. grams in ≥ min_docs docs via one gram-keyed groupBy;
+      3. duplicated gram STARTS back on the docs via a gram-keyed
+         left_semi join (candidates only — the corpus never self-joins);
+      4. token coverage: token t is inside a duplicated span iff some
+         duplicated gram starts in [t-k+1, t] — a doc-keyed window
+         max over the previous k-1 positions (positions are dense, so
+         ROWS BETWEEN k-1 PRECEDING ≡ the position range);
+      5. one doc-keyed agg rebuilds the cleaned token stream and counts.
+
+    Output: id, n_tokens, dup_tokens, dup_micro (exact integer ppm of
+    tokens removed), clean_text (surviving tokens joined by ' ' — the
+    operator's contract is the token stream, not original whitespace).
+
+    Scale posture (100 TB): shuffles are one gram groupBy, one gram
+    equijoin, one (doc,pos) equijoin and one doc-keyed window+agg — all
+    keyed, never doc × doc, never a global sort. The gram table is ~L
+    rows per doc (same as shingling); AQE skew-split handles hot grams
+    (boilerplate); cross-document only (within-doc repeats of a gram do
+    not by themselves mark a span — use min_docs=1 semantics upstream
+    via line_dedup/shared_ngram_stats for that).
+    """
+    grams = ngram_pos_df(df, id_col, text_col, n=k)
+    dup_grams = (
+        grams.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    dup_starts = grams.join(dup_grams, "g", "left_semi").select(
+        F.col(id_col), F.col("pos"), F.lit(1).alias("dstart")
+    )
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens_array(F.col(text_col))).alias("pos", "tok"),
+    )
+    w_cov = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(k - 1), Window.currentRow)
+    )
+    flagged = toks.join(dup_starts, [id_col, "pos"], "left").withColumn(
+        "covered", F.max(F.coalesce(F.col("dstart"), F.lit(0))).over(w_cov)
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("covered").cast("long").alias("dup_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("covered") == 0, F.struct("pos", "tok")
+                            )
+                        )
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .withColumn(
+            "dup_micro",
+            F.expr("CAST(1000000 AS BIGINT) * dup_tokens DIV n_tokens"),
+        )
+        .select(id_col, "n_tokens", "dup_tokens", "dup_micro", "clean_text")
+    )

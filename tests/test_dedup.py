@@ -423,3 +423,71 @@ def test_line_dedup_all_boilerplate_doc_yields_empty(spark):
     out = {r["doc_id"]: r for r in line_dedup(docs, line_tokens=3).collect()}
     assert out[1]["clean_text"] == "" and out[1]["n_boiler"] == 1
     assert set(out) == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# substring_span_dedup (Lee et al. span-level exact dedup, q70)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = one full gram
+    rows = [
+        # docs 1/2 share an 8-token span mid-text (different surroundings)
+        (1, f"one two {shared} three four"),
+        (2, f"five six seven {shared} eight"),
+        # doc 3: shares NO 8-gram (7-token overlap only — below k)
+        (3, "alpha beta gamma delta epsilon zeta eta DIFFERENT nine ten"),
+        # doc 4: unique text, longer than k
+        (4, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+        # doc 5: shorter than k — can never be marked
+        (5, "tiny doc"),
+        # docs 6/7: identical full text of 10 tokens → maximal span = whole doc
+        (6, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+        (7, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_span_dedup_marks_exact_shared_spans(span_docs):
+    out = {
+        r.doc_id: r
+        for r in D.substring_span_dedup(span_docs, k=8, min_docs=2).collect()
+    }
+    # docs 1/2: exactly the 8 shared tokens are cut, the rest survives
+    assert out[1].dup_tokens == 8 and out[1].clean_text == "one two three four"
+    assert out[2].dup_tokens == 8 and out[2].clean_text == "five six seven eight"
+    # 7-token overlap is below k → untouched
+    assert out[3].dup_tokens == 0 and out[3].clean_text.startswith("alpha beta")
+    # unique + short docs untouched
+    assert out[4].dup_tokens == 0
+    assert out[5].dup_tokens == 0 and out[5].n_tokens == 2
+    # identical docs: every token covered, clean_text empty, ppm exact
+    for d in (6, 7):
+        assert out[d].dup_tokens == 10 and out[d].clean_text == ""
+        assert out[d].dup_micro == 1_000_000
+
+
+def test_span_dedup_merges_overlapping_gram_runs(spark):
+    # 12 shared tokens → 5 dup gram starts (k=8) whose intervals overlap;
+    # coverage must be the merged 12-token span, not 5 separate grams
+    shared = " ".join(f"s{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, f"pre {shared} post"), (2, f"x {shared} y")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.substring_span_dedup(df, k=8).collect()}
+    assert out[1].dup_tokens == 12 and out[1].clean_text == "pre post"
+    assert out[2].dup_tokens == 12 and out[2].clean_text == "x y"
+
+
+def test_span_dedup_within_doc_repeat_not_marked(spark):
+    # the same 8-gram twice within ONE doc is not a cross-doc duplicate
+    s = "r1 r2 r3 r4 r5 r6 r7 r8"
+    df = spark.createDataFrame(
+        [(1, f"{s} mid {s}"), (2, "totally different words here now ok yes no")],
+        "doc_id long, text string",
+    )
+    out = D.substring_span_dedup(df, k=8, min_docs=2).collect()
+    assert all(r.dup_tokens == 0 for r in out)
