@@ -3620,3 +3620,51 @@ def q70(spark, sf_dir):
     return D.substring_span_dedup(
         _span_dedup_fixture(spark, sf_dir), k=8, min_docs=2
     ).orderBy("doc_id")
+
+
+@register(
+    "q71_char_lm_fluency",
+    """
+    WITH ref AS (SELECT text FROM documents WHERE lang = 'en'),
+    tri_ref AS (
+      SELECT substring(text, i, 3) AS tri
+      FROM ref, UNNEST(generate_series(1, length(text) - 2)) AS t(i)
+      WHERE length(text) >= 3
+    ),
+    tri_c AS (SELECT tri, COUNT(*) AS c_tri FROM tri_ref GROUP BY tri),
+    bi_ref AS (
+      SELECT substring(text, i, 2) AS bi
+      FROM ref, UNNEST(generate_series(1, length(text) - 1)) AS t(i)
+      WHERE length(text) >= 2
+    ),
+    bi_c AS (SELECT bi, COUNT(*) AS c_bi FROM bi_ref GROUP BY bi),
+    model AS (
+      SELECT tri, (1000000 * c_tri) // c_bi AS score_micro
+      FROM tri_c JOIN bi_c ON substring(tri, 1, 2) = bi
+    ),
+    doc_tri AS (
+      SELECT doc_id, substring(text, i, 3) AS tri
+      FROM documents, UNNEST(generate_series(1, length(text) - 2)) AS t(i)
+      WHERE length(text) >= 3
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tri,
+           CAST(SUM(CASE WHEN m.score_micro IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS matched_tri,
+           CAST(SUM(COALESCE(m.score_micro, 0)) // COUNT(*) AS BIGINT) AS fluency_micro
+    FROM doc_tri d LEFT JOIN model m ON d.tri = m.tri
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def q71(spark, sf_dir):
+    """CCNet-style LM quality filter (operators/text_stats.py char_lm_model
+    + char_lm_score): a character-trigram conditional-probability model is
+    trained on the trusted slice (lang='en' — CCNet trains KenLM on
+    Wikipedia) and every document is scored by its mean trigram
+    probability in exact integer micro-units; non-English and gibberish
+    text scores low. The model is charset-bounded (never corpus-bounded)
+    so the scoring join is an explicit broadcast; doc-side work is one
+    map-side explode + one doc-keyed partial-aggregated groupBy."""
+    docs = t(spark, sf_dir, "documents")
+    model = T.char_lm_model(docs.filter(F.col("lang") == "en"))
+    return T.char_lm_score(docs, model).orderBy("doc_id")

@@ -412,3 +412,86 @@ def clean_text(
         F.length(raw).cast("long").alias("n_chars_raw"),
         F.length(cleaned).cast("long").alias("n_chars_clean"),
     )
+
+
+def _char_ngrams(text_col: str, n: int) -> F.Column:
+    """Array of all character n-grams of the column (empty when shorter
+    than n — guarded because sequence(1, L-n+1) runs DESCENDING for L<n)."""
+    return F.expr(
+        f"CASE WHEN length({text_col}) >= {n} THEN "
+        f"transform(sequence(1, length({text_col}) - {n} + 1), "
+        f"i -> substring({text_col}, i, {n})) ELSE array() END"
+    )
+
+
+def char_lm_model(ref: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-trigram conditional-probability model from a reference
+    corpus (the CCNet recipe trains a KenLM on trusted text; this is the
+    distributed integer-exact analog). One row per observed trigram:
+
+        score_micro = (1e6 · count(c1c2c3)) DIV count(c1c2)   ∈ [0, 1e6]
+
+    i.e. p(c3 | c1c2) in exact micro-units — every trigram occurrence
+    contains its prefix-bigram occurrence, so the ratio never exceeds 1.
+
+    Scale posture: counts tables are bounded by charset² / charset³ (not
+    corpus size) — two map-side-combinable groupBys over map-side
+    exploded n-grams, then one join between two bounded tables. The
+    resulting model is broadcastable by construction.
+    """
+    tri = (
+        ref.select(F.explode(_char_ngrams(text_col, 3)).alias("tri"))
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("c_tri"))
+    )
+    bi = (
+        ref.select(F.explode(_char_ngrams(text_col, 2)).alias("bi"))
+        .groupBy("bi")
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+    )
+    return (
+        tri.join(bi, F.substring(F.col("tri"), 1, 2) == F.col("bi"))
+        .select(
+            "tri",
+            F.expr("CAST(1000000 AS BIGINT) * c_tri DIV c_bi").alias("score_micro"),
+        )
+    )
+
+
+def char_lm_score(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document LM fluency against a char_lm_model: the mean trigram
+    conditional probability in exact integer micro-units (unseen trigram
+    → 0, the un-smoothed CCNet-style 'surprising text scores low'
+    signal). Output: id, n_tri, matched_tri, fluency_micro.
+
+    Scale posture (100 TB): trigram explode is map-side; the model join
+    is an explicit broadcast (the model is charset-bounded, never
+    corpus-bounded); one doc-keyed groupBy with map-side partial
+    aggregation. Docs shorter than 3 chars carry no trigrams and drop
+    out — at web scale those are pre-filtered junk anyway.
+    """
+    tris = df.select(
+        F.col(id_col), F.explode(_char_ngrams(text_col, 3)).alias("tri")
+    )
+    scored = tris.join(F.broadcast(model), "tri", "left")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tri"),
+            F.sum((F.col("score_micro").isNotNull()).cast("long"))
+            .cast("long")
+            .alias("matched_tri"),
+            F.sum(F.coalesce(F.col("score_micro"), F.lit(0)))
+            .cast("long")
+            .alias("_sum_micro"),
+        )
+        .withColumn(
+            "fluency_micro", F.expr("_sum_micro DIV n_tri")
+        )
+        .select(id_col, "n_tri", "matched_tri", "fluency_micro")
+    )

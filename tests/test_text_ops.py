@@ -159,3 +159,42 @@ def test_clean_text_preserves_newlines_and_other_columns(spark):
     row = clean_text(df).collect()[0]
     assert row.text == "line1\nline2\r\nline3"
     assert row.lang == "en"
+
+
+# ---------------------------------------------------------------------------
+# char-trigram LM fluency (CCNet-style quality filter, q71)
+# ---------------------------------------------------------------------------
+
+
+def test_char_lm_scores_reference_like_text_higher(spark):
+    from py_image_toolkit_spark.operators.text_stats import char_lm_model, char_lm_score
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog ran to the park") for i in range(4)],
+        "doc_id long, text string",
+    )
+    model = char_lm_model(ref)
+    probe = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),       # in-distribution
+            (2, "zqxj vwkp fjzq xqzw bnmp"),     # gibberish, mostly unseen
+            (3, "ab"),                            # < 3 chars → no trigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in char_lm_score(probe, model).collect()}
+    assert out[1].fluency_micro > out[2].fluency_micro
+    assert out[1].matched_tri == out[1].n_tri  # every trigram seen in ref
+    assert 3 not in out  # no trigrams → no row
+    # probability mass bound: mean conditional prob can never exceed 1
+    assert all(0 <= r.fluency_micro <= 1_000_000 for r in out.values())
+
+
+def test_char_lm_model_is_exact_conditional_probability(spark):
+    from py_image_toolkit_spark.operators.text_stats import char_lm_model
+
+    # "aab aab": trigrams aab×2, "ab "×1, "b a"×1, " aa"×1; bigram "aa"×2
+    ref = spark.createDataFrame([(1, "aab aab")], "doc_id long, text string")
+    m = {r.tri: r.score_micro for r in char_lm_model(ref).collect()}
+    assert m["aab"] == 1_000_000  # p(b|aa) = 2/2
+    assert m["ab "] == 500_000    # p(' '|ab) = 1/2
