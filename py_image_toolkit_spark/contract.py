@@ -3668,3 +3668,90 @@ def q71(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     model = T.char_lm_model(docs.filter(F.col("lang") == "en"))
     return T.char_lm_score(docs, model).orderBy("doc_id")
+
+
+@register(
+    "q72_chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, arr, len(arr) AS n,
+             CASE WHEN len(arr) <= 32 THEN 0
+                  ELSE (len(arr) - 32 + 23) // 24 END AS kmax
+      FROM toks WHERE len(arr) > 0
+    ),
+    c AS (
+      SELECT doc_id, k AS chunk_id, k * 24 AS chunk_start, arr, n
+      FROM p, UNNEST(generate_series(0, kmax)) AS t(k)
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(LEAST(32, n - chunk_start) AS BIGINT) AS n_tokens,
+           array_to_string(arr[chunk_start + 1:chunk_start + 32], ' ') AS chunk_text
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+)
+def q72(spark, sf_dir):
+    """Sliding-window chunking (operators/text_stats.py chunk_documents):
+    RAG-index / context-window preparation — 32-token chunks, 8-token
+    overlap (stride 24), last start = ceil((n−32)/24) so the tail is
+    covered and no chunk is contained in its predecessor. Zero shuffle:
+    tokenize, enumerate starts and slice are all map-side; the oracle
+    re-derives the start arithmetic independently."""
+    return T.chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "q73_snapshot_diff",
+    """
+    WITH old AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || ' rev2' ELSE text END)
+               AS new_hash
+      FROM documents WHERE doc_id % 13 <> 0
+      UNION ALL
+      SELECT doc_id + 90000 AS doc_id, md5('fresh doc ' || CAST(doc_id AS VARCHAR))
+      FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           o.old_hash, n.new_hash,
+           CASE WHEN o.old_hash IS NULL THEN 'added'
+                WHEN n.new_hash IS NULL THEN 'removed'
+                WHEN o.old_hash = n.new_hash THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    ORDER BY doc_id
+    """,
+)
+def q73(spark, sf_dir):
+    """Corpus release diff (operators/corpus.py snapshot_diff): v1 = the
+    documents table; v2 deterministically removes every 13th doc, revises
+    every 11th and adds a fresh doc per 17th. Both snapshots reduce
+    map-side to (id, md5) — text never shuffles — then one id-keyed full
+    outer join classifies added/removed/changed/unchanged."""
+    from py_image_toolkit_spark.operators.corpus import snapshot_diff
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") % 13 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 17 == 0).select(
+                (F.col("doc_id") + 90000).alias("doc_id"),
+                F.concat(F.lit("fresh doc "), F.col("doc_id").cast("string")).alias("text"),
+            )
+        )
+    )
+    return snapshot_diff(d, new).orderBy("doc_id")

@@ -337,3 +337,33 @@ def length_percentiles(
             .alias(f"p{p}_len")
         )
     return cum.groupBy(group_col).agg(*aggs)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Release-to-release corpus diff by content hash: every doc id in
+    either snapshot classified as added / removed / changed / unchanged —
+    the audit table a dataset release ships alongside its manifest (what
+    moved between v1 and v2, without diffing text bodies).
+
+    Output: id, old_hash, new_hash (null when absent), status.
+
+    Scale posture (100 TB): both snapshots reduce map-side to (id, md5)
+    — text never shuffles — then one id-keyed full outer join; status is
+    pure Column arithmetic on the joined hashes. Never a text comparison,
+    never a sort.
+    """
+    o = old.select(F.col(id_col), _md5(F.col(text_col)).alias("old_hash"))
+    n = new.select(F.col(id_col), _md5(F.col(text_col)).alias("new_hash"))
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(id_col, "old_hash", "new_hash", status.alias("status"))

@@ -495,3 +495,57 @@ def char_lm_score(
         )
         .select(id_col, "n_tri", "matched_tri", "fluency_micro")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Sliding-window chunker (RAG indexing / pretraining context windows):
+    each document's token stream splits into chunks of ``chunk_tokens``
+    with ``overlap`` tokens shared between neighbors (stride = chunk −
+    overlap). Chunk k starts at k·stride; the last start is the smallest
+    k covering the tail (ceil((n − chunk)/stride), 0 when the doc fits in
+    one chunk), so no emitted chunk is fully contained in its predecessor
+    and every token is covered. Empty docs yield no chunks.
+
+    Output: id, chunk_id, chunk_start (token offset), n_tokens,
+    chunk_text (tokens re-joined by ' ').
+
+    Scale posture (100 TB): zero shuffle — tokenization, start
+    enumeration (sequence+posexplode) and slicing are all map-side; the
+    token array is projected once per row, and per-chunk slice cost is
+    bounded by chunk_tokens.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    base = df.select(
+        F.col(id_col), tokens_array(F.col(text_col)).alias("_arr")
+    ).withColumn("_n", F.size("_arr"))
+    kmax = F.when(F.col("_n") <= chunk_tokens, F.lit(0)).otherwise(
+        F.floor((F.col("_n") - chunk_tokens + stride - 1) / stride)
+    )
+    chunks = base.select(
+        F.col(id_col),
+        "_arr",
+        "_n",
+        F.posexplode(F.sequence(F.lit(0), kmax.cast("long"))).alias("chunk_id", "_k"),
+    ).withColumn("chunk_start", (F.col("_k") * stride).cast("long"))
+    return (
+        chunks.filter(F.col("_n") > 0)
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            "chunk_start",
+            F.least(
+                F.lit(chunk_tokens).cast("long"), F.col("_n") - F.col("chunk_start")
+            ).alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("_arr"), F.col("chunk_start") + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+        )
+    )

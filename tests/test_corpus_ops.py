@@ -184,3 +184,18 @@ def test_length_percentiles_brute_force(docs):
             # smallest value whose cumulative count reaches ceil(p% of n)
             want = lens[-(-n * p // 100) - 1]
             assert row[f"p{p}_len"] == want, (lang, p)
+
+
+def test_snapshot_diff_classifies_all_four_states(spark):
+    from py_image_toolkit_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}

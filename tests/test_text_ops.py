@@ -198,3 +198,47 @@ def test_char_lm_model_is_exact_conditional_probability(spark):
     m = {r.tri: r.score_micro for r in char_lm_model(ref).collect()}
     assert m["aab"] == 1_000_000  # p(b|aa) = 2/2
     assert m["ab "] == 500_000    # p(' '|ab) = 1/2
+
+
+# ---------------------------------------------------------------------------
+# sliding-window chunker (q72)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_boundaries(spark):
+    import pytest as _pytest
+
+    from py_image_toolkit_spark.operators.text_stats import chunk_documents
+
+    def toks(n):
+        return " ".join(f"t{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [(1, toks(10)), (2, toks(11)), (3, toks(25)), (4, ""), (5, "one")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=10, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # exactly chunk_tokens → one chunk
+    assert [(c.chunk_start, c.n_tokens) for c in by_doc[1]] == [(0, 10)]
+    # one token past a full chunk → second chunk at stride covering the tail
+    assert [(c.chunk_start, c.n_tokens) for c in by_doc[2]] == [(0, 10), (6, 5)]
+    # 25 tokens, stride 6: ceil(15/6)=3 extra chunks; tail covered
+    assert [(c.chunk_start, c.n_tokens) for c in by_doc[3]] == [
+        (0, 10), (6, 10), (12, 10), (18, 7),
+    ]
+    last = by_doc[3][-1]
+    assert last.chunk_text.endswith("t24")
+    # empty doc emits nothing; 1-token doc emits itself
+    assert 4 not in by_doc
+    assert [(c.chunk_start, c.n_tokens, c.chunk_text) for c in by_doc[5]] == [(0, 1, "one")]
+    # every token of doc 3 appears in some chunk
+    covered = set()
+    for c in by_doc[3]:
+        covered.update(c.chunk_text.split(" "))
+    assert covered == set(toks(25).split(" "))
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
