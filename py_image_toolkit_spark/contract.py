@@ -3755,3 +3755,143 @@ def q73(spark, sf_dir):
         )
     )
     return snapshot_diff(d, new).orderBy("doc_id")
+
+
+_BM25_QUERIES = [
+    (1, "customer query window"),
+    (2, "hash join table scan"),
+    (3, "vector stream data"),
+    (4, "zzznope table"),
+]
+
+
+@register(
+    "q74_bm25_topk",
+    """
+    WITH q(query_id, qtext) AS (
+      VALUES (CAST(1 AS BIGINT), 'customer query window'),
+             (CAST(2 AS BIGINT), 'hash join table scan'),
+             (CAST(3 AS BIGINT), 'vector stream data'),
+             (CAST(4 AS BIGINT), 'zzznope table')
+    ),
+    toks AS (
+      SELECT doc_id, u.tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS u(tok)
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    dfk AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scal AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT COUNT(*) FROM toks) AS total_tokens
+    ),
+    qtok AS (
+      SELECT DISTINCT query_id, u.tok
+      FROM q, UNNEST(list_filter(string_split_regex(qtext, '\\s+'), x -> x <> '')) AS u(tok)
+    ),
+    j AS (
+      SELECT qtok.query_id, tf.doc_id, tf.tf, dl.dl, dfk.df, s.n_docs, s.total_tokens,
+             LEAST(1000000 * (s.n_docs - dfk.df) // (dfk.df + 1),
+                   1000000000000) AS idf_micro,
+             1000000 * dl.dl * s.n_docs // s.total_tokens AS rel_len_micro
+      FROM tf JOIN qtok ON tf.tok = qtok.tok
+              JOIN dl ON tf.doc_id = dl.doc_id
+              JOIN dfk ON tf.tok = dfk.tok
+              CROSS JOIN scal s
+    ),
+    j2 AS (
+      SELECT *,
+             1000000 - 750000 + 750000 * rel_len_micro // 1000000 AS norm_micro
+      FROM j
+    ),
+    j3 AS (
+      SELECT *, 1000000 * tf + 1200000 * norm_micro // 1000000 AS denom_micro
+      FROM j2
+    ),
+    j4 AS (
+      SELECT *,
+             idf_micro * (1000000 * tf * 2200000 // denom_micro) // 1000000
+               AS contrib_micro
+      FROM j3
+    ),
+    scores AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(contrib_micro) AS BIGINT) AS score_micro,
+             CAST(COUNT(*) AS BIGINT) AS matched_terms
+      FROM j4 GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT query_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY score_micro DESC, doc_id
+             ) AS BIGINT) AS rank,
+             doc_id, score_micro, matched_terms
+      FROM scores
+    )
+    SELECT query_id, rank, doc_id, score_micro, matched_terms
+    FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q74(spark, sf_dir):
+    """Integer-exact BM25 retrieval (operators/corpus.py bm25_topk):
+    Okapi top-5 per query, every factor in micro-units with BIGINT floor
+    division (bit-reproducible; the idf is the raw (N−df)/(df+1) ratio,
+    log-free, capped at 1e12 so int64 products survive web-scale N).
+    Scale shape: tf/dl/df are map-side-combinable groupBys computed once
+    per corpus, the small query set broadcasts onto the token equijoin,
+    corpus scalars ride a broadcast single row, and per-query top-5 is
+    one keyed window. The oracle recomputes the whole ladder in SQL."""
+    from py_image_toolkit_spark.operators.corpus import bm25_topk
+
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id long, qtext string")
+    return bm25_topk(t(spark, sf_dir, "documents"), queries, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "q75_winnow_fingerprints",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, md5(array_to_string(arr[i:i+4], ' ')) AS g
+      FROM toks, UNNEST(generate_series(1, len(arr) - 4)) AS t(i)
+      WHERE len(arr) >= 5
+    ),
+    keyed AS (
+      SELECT doc_id, pos,
+             g || lpad(CAST(100000000 - pos AS VARCHAR), 9, '0') AS key,
+             MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+      FROM grams
+    ),
+    picked AS (
+      SELECT doc_id, pos, maxpos,
+             MIN(key) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+             ) AS pick
+      FROM keyed
+    )
+    SELECT DISTINCT doc_id,
+           CAST(100000000 - CAST(substr(pick, 33, 9) AS BIGINT) AS BIGINT) AS fp_pos,
+           substr(pick, 1, 32) AS fp_hash
+    FROM picked WHERE pos <= maxpos - 3
+    ORDER BY doc_id, fp_pos
+    """,
+)
+def q75(spark, sf_dir):
+    """Winnowing fingerprints (operators/dedup.py winnow_fingerprints):
+    the MOSS selection — per window of 4 consecutive word 5-gram hashes
+    keep the minimum (rightmost tie-break); distinct (pos, hash) pairs
+    form each document's fingerprint, guaranteeing any shared run of
+    ≥ 8 tokens shares a fingerprint at ~2/(w+1) retention. The oracle
+    encodes the same tie-break through a sortable hash‖(10^8−pos) string
+    key, so selection, frame width and tie direction are all hash-load-
+    bearing. One doc-keyed window shuffle reused by both passes."""
+    return D.winnow_fingerprints(
+        t(spark, sf_dir, "documents"), k=5, w=4
+    ).orderBy("doc_id", "fp_pos")

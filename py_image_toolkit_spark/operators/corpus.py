@@ -367,3 +367,97 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select(id_col, "old_hash", "new_hash", status.alias("status"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    k: int = 5,
+    k1_micro: int = 1_200_000,
+    b_micro: int = 750_000,
+) -> DataFrame:
+    """Full-corpus BM25 retrieval, integer-exact: top-k documents per
+    query under the Okapi ranking function with every factor carried in
+    micro-units and BIGINT floor division (bit-reproducible cross-engine,
+    like the q52 TF-IDF / q57 PMI proxies — the idf is the raw
+    (N−df)/(df+1) ratio rather than its log, which preserves the
+    more-selective-term-wins ordering without floats):
+
+        idf_micro  = min(1e6·(N−df) DIV (df+1), 1e12)       [cap: int64
+                      products stay < 2^63 even at web-scale N]
+        rel_len    = 1e6·dl·N DIV total_tokens              [dl/avgdl]
+        norm       = 1e6 − b + b·rel_len DIV 1e6
+        denom      = 1e6·tf + k1·norm DIV 1e6
+        tf_factor  = 1e6·tf·(k1+1e6) DIV denom              [≤ k1+1e6]
+        contrib    = idf·tf_factor DIV 1e6
+        score      = Σ_t contrib   (distinct query terms)
+
+    Scale posture (100 TB): per-doc tf/dl reduce map-side into one
+    doc+token groupBy; df is one token-keyed groupBy over distinct
+    (doc, token); the query set is small by nature → broadcast on the
+    token equijoin (the corpus never re-shuffles per query); corpus
+    scalars (N, total tokens) ride along as a broadcast single row;
+    final top-k is TakeOrderedAndProject-shaped per query via one
+    (query)-keyed window. Ties break by doc id.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_array(F.col(text_col))).alias("tok")
+    )
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    df_tab = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scal = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    ).crossJoin(
+        toks.agg(F.count(F.lit(1)).cast("long").alias("total_tokens"))
+    )
+
+    qtok = queries.select(
+        F.col(qid_col), F.explode(tokens_array(F.col(qtext_col))).alias("tok")
+    ).distinct()
+
+    j = (
+        tf.join(F.broadcast(qtok), "tok")
+        .join(dl, id_col)
+        .join(df_tab, "tok")
+        .crossJoin(F.broadcast(scal))
+    )
+    M = "CAST(1000000 AS BIGINT)"
+    j = (
+        j.withColumn(
+            "idf_micro",
+            F.expr(
+                f"LEAST({M} * (n_docs - df) DIV (df + 1),"
+                " CAST(1000000000000 AS BIGINT))"
+            ),
+        )
+        .withColumn("rel_len_micro", F.expr(f"{M} * dl * n_docs DIV total_tokens"))
+        .withColumn(
+            "norm_micro",
+            F.expr(f"{M} - {b_micro} + {b_micro} * rel_len_micro DIV {M}"),
+        )
+        .withColumn(
+            "denom_micro", F.expr(f"{M} * tf + {k1_micro} * norm_micro DIV {M}")
+        )
+        .withColumn(
+            "tf_factor_micro",
+            F.expr(f"{M} * tf * ({k1_micro} + 1000000) DIV denom_micro"),
+        )
+        .withColumn("contrib_micro", F.expr(f"idf_micro * tf_factor_micro DIV {M}"))
+    )
+    scores = j.groupBy(qid_col, id_col).agg(
+        F.sum("contrib_micro").cast("long").alias("score_micro"),
+        F.count(F.lit(1)).cast("long").alias("matched_terms"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score_micro").desc(), F.col(id_col)
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "score_micro", "matched_terms")
+    )

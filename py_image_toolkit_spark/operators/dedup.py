@@ -707,3 +707,48 @@ def substring_span_dedup(
         )
         .select(id_col, "n_tokens", "dup_tokens", "dup_micro", "clean_text")
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS algorithm): over every window of ``w`` consecutive word
+    k-gram hashes, select the minimum hash (rightmost occurrence wins
+    ties); the DISTINCT selected (position, hash) pairs are the document
+    fingerprint. Guarantee: any shared substring of ≥ w+k−1 tokens
+    produces at least one shared fingerprint, while only ~2/(w+1) of
+    gram hashes are kept — the classic sublinear local-dedup sketch.
+
+    Output: id, fp_pos, fp_hash rows (the fingerprint set).
+
+    Scale posture (100 TB): reuses ngram_pos_df's positioned grams (one
+    doc-keyed window shuffle); selection is one more frame-window pass
+    over the SAME partitioning (no extra exchange) + a distinct whose
+    keys are doc-local. Never doc × doc; md5 hex compares consistently
+    across engines (lexicographic on a fixed-width hex alphabet).
+    """
+    grams = ngram_pos_df(df, id_col, text_col, n=k)
+    part = Window.partitionBy(id_col)
+    frame = part.orderBy("pos").rowsBetween(Window.currentRow, w - 1)
+    # min over (hash asc, pos desc): struct min picks the smallest hash,
+    # and for equal hashes the smallest negated position = rightmost one
+    pick = F.min(F.struct(F.col("g").alias("h"), (-F.col("pos")).alias("np"))).over(
+        frame
+    )
+    sel = (
+        grams.withColumn("_pick", pick)
+        .withColumn("_maxpos", F.max("pos").over(part))
+        .filter(F.col("pos") <= F.col("_maxpos") - (w - 1))
+        .select(
+            F.col(id_col),
+            (-F.col("_pick.np")).cast("long").alias("fp_pos"),
+            F.col("_pick.h").alias("fp_hash"),
+        )
+        .distinct()
+    )
+    return sel

@@ -199,3 +199,36 @@ def test_snapshot_diff_classifies_all_four_states(spark):
     )
     out = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
     assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_bm25_ranks_selective_terms_and_shorter_docs_higher(spark):
+    from py_image_toolkit_spark.operators.corpus import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rareword filler filler filler"),
+            (2, "common filler filler filler"),
+            (3, "common common filler filler filler filler filler filler"),
+            (4, "common filler"),
+            (5, "filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "rareword"), (2, "common"), (3, "absent")],
+        "query_id long, qtext string",
+    )
+    out = bm25_topk(docs, queries, k=5).collect()
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r)
+    # q1: only doc 1 contains the rare word
+    assert [r.doc_id for r in by_q[1]] == [1]
+    # q2: docs 2/3/4 match; the short doc (4) outranks the long ones, and
+    # the rare-term query scores doc 1 higher than any common-term hit
+    assert set(r.doc_id for r in by_q[2]) == {2, 3, 4}
+    assert by_q[2][0].doc_id == 4
+    assert by_q[1][0].score_micro > by_q[2][0].score_micro
+    # q3: no matches at all
+    assert 3 not in by_q
+    assert all(r.matched_terms == 1 for q in by_q.values() for r in q)

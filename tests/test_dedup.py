@@ -491,3 +491,48 @@ def test_span_dedup_within_doc_repeat_not_marked(spark):
     )
     out = D.substring_span_dedup(df, k=8, min_docs=2).collect()
     assert all(r.dup_tokens == 0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS selection, q75)
+# ---------------------------------------------------------------------------
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """Any shared substring of >= w+k-1 tokens must share >=1 fingerprint."""
+    shared = " ".join(f"s{i}" for i in range(8))  # w+k-1 = 4+5-1 = 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {shared} a4 a5"),
+            (2, f"b1 {shared} b2 b3 b4 b5"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = D.winnow_fingerprints(df, k=5, w=4).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_density_and_determinism(spark):
+    toks = " ".join(f"w{i % 13}x{i % 7}" for i in range(200))
+    df = spark.createDataFrame([(1, toks)], "doc_id long, text string")
+    a = sorted((r.fp_pos, r.fp_hash) for r in D.winnow_fingerprints(df).collect())
+    b = sorted((r.fp_pos, r.fp_hash) for r in D.winnow_fingerprints(df).collect())
+    assert a == b  # deterministic
+    n_grams = 200 - 5 + 1
+    # winnowing keeps ~2/(w+1) of grams; allow generous bounds
+    assert n_grams * 0.1 <= len(a) <= n_grams * 0.8
+    # every selected position is a valid gram start
+    assert all(0 <= p <= n_grams - 1 for p, _ in a)
+
+
+def test_winnowing_short_doc_yields_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, "only seven tokens here not enough grams")],  # 7 toks -> 3 grams < w
+        "doc_id long, text string",
+    )
+    assert D.winnow_fingerprints(df, k=5, w=4).count() == 0
