@@ -3895,3 +3895,84 @@ def q75(spark, sf_dir):
     return D.winnow_fingerprints(
         t(spark, sf_dir, "documents"), k=5, w=4
     ).orderBy("doc_id", "fp_pos")
+
+
+def _frontier_robots_df(spark, sf_dir):
+    """Robots bodies for the q76 fixture: every even-numbered srcK host
+    disallows /rel for all agents; odd hosts publish no robots."""
+    hosts = (
+        t(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .filter(F.substring("source", 4, 10).cast("int") % 2 == 0)
+    )
+    return hosts.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.lit("User-agent: *\nDisallow: /rel\n").alias("robots_txt"),
+    )
+
+
+QUERIES_Q76_SQL = f"""
+    WITH {_LINK_PAGES_SQL},
+    cand AS (
+      SELECT DISTINCT CASE
+               WHEN regexp_matches(target, '^https?://') THEN target
+               WHEN target LIKE '/%' THEN 'https://' || src || target
+             END AS url
+      FROM raw_links
+      WHERE regexp_matches(target, '^https?://') OR target LIKE '/%'
+    ),
+    canon AS (SELECT DISTINCT {_canon_sql("url")} AS url FROM cand),
+    crawled AS (SELECT DISTINCT {_canon_sql("url")} AS url FROM link_pages),
+    fresh AS (SELECT url FROM canon ANTI JOIN crawled USING (url)),
+    parts AS (
+      SELECT url,
+             lower(regexp_replace(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$', ''))
+               AS host,
+             regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')
+               AS path
+      FROM fresh
+    ),
+    gated AS (
+      -- oracle predicts each gate from (host, path) arithmetic:
+      -- blocklist host suffix, blocklist pattern, robots Disallow /rel
+      -- on even srcK hosts
+      SELECT url, host FROM parts
+      WHERE NOT (host = 'src3.example.com' OR host LIKE '%.src3.example.com')
+        AND NOT regexp_matches(url, '^https://src1[0-9]\\.example\\.com/a$')
+        AND NOT (CAST(regexp_extract(host, '^src([0-9]+)', 1) AS INT) % 2 = 0
+                 AND path LIKE '/rel%')
+    ),
+    ranked AS (
+      SELECT url, host,
+             ROW_NUMBER() OVER (PARTITION BY host ORDER BY md5(url), url)
+               AS host_rank
+      FROM gated
+    )
+    SELECT url, host, CAST(host_rank AS BIGINT) AS host_rank
+    FROM ranked WHERE host_rank <= 1 ORDER BY url
+    """
+
+
+@register("q76_crawl_frontier", QUERIES_Q76_SQL)
+def q76(spark, sf_dir):
+    """Crawl-frontier assembly (operators/web.py crawl_frontier): outlink
+    mining → canonicalization/distinct → already-crawled anti-join →
+    blocklist → robots gate → per-host politeness budget, i.e. the
+    q59/q37/q61/q69/q66 operators COMPOSED into a crawler's scheduling
+    stage. The oracle predicts every gate from (host, path) arithmetic
+    rather than re-running the operators, so outlink resolution,
+    canonical keys, each gate's precedence and the md5 budget order are
+    all load-bearing for the hash."""
+    from py_image_toolkit_spark.operators.web import crawl_frontier, robots_rules
+
+    pages = _link_pages(spark, sf_dir)
+    return crawl_frontier(
+        pages,
+        crawled=pages.select("url"),
+        robots=robots_rules(_frontier_robots_df(spark, sf_dir)),
+        blocked_hosts=("src3.example.com",),
+        blocked_url_patterns=(r"^https://src1[0-9]\.example\.com/a$",),
+        per_host_budget=1,
+    ).orderBy("url")

@@ -182,3 +182,31 @@ def anchor_texts(
         .groupBy("src", "dst", "anchor")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+def extract_outlinks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Distinct outlink URLs (not hosts — the crawl-frontier variant of
+    extract_links): absolute ``http(s)://`` targets are kept verbatim,
+    root-relative targets (``/path``) resolve against the source host
+    with the https scheme, and other relative forms are dropped (no
+    base-path algebra — a production frontier treats those as same-page
+    noise). One codegen regexp pass; the only shuffle is the distinct
+    over the (already collapsed) URL set.
+    """
+    src_host = F.regexp_extract(F.col(url_col), _HOST_RE, 1)
+    html_text = F.col(html_col).cast("string")
+    target = F.explode(
+        F.regexp_extract_all(html_text, F.lit(_HREF_RE), 1)
+    ).alias("target")
+    out_url = F.when(F.col("target").rlike(r"^https?://"), F.col("target")).when(
+        F.col("target").startswith("/"),
+        F.concat(F.lit("https://"), F.col("src_host"), F.col("target")),
+    )
+    return (
+        pages.select(src_host.alias("src_host"), target)
+        .select(out_url.alias("url"))
+        .where(F.col("url").isNotNull())
+        .distinct()
+    )

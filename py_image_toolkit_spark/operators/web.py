@@ -329,3 +329,54 @@ def robots_gate(
             F.col("_w.rule_path").alias("rule_path"),
         )
     )
+
+
+def crawl_frontier(
+    pages: DataFrame,
+    crawled: DataFrame,
+    robots: DataFrame | None = None,
+    blocked_hosts: tuple[str, ...] = (),
+    blocked_url_patterns: tuple[str, ...] = (),
+    per_host_budget: int = 10,
+    url_col: str = "url",
+) -> DataFrame:
+    """Next-crawl frontier assembly — the composition that turns the
+    individual gating operators into a crawler's scheduling stage:
+
+      1. outlink mining from fetched pages (graph.extract_outlinks);
+      2. URL canonicalization + distinct (one shuffle on the URL key);
+      3. already-crawled removal by canonical-URL left_anti equijoin;
+      4. blocklist gating (url_filter, plan-literal rules, zero shuffle);
+      5. robots compliance (robots_gate host-equijoin, when rules given);
+      6. per-host politeness budget (host_cap's two-phase rank, so a hot
+         host never funnels through one partition).
+
+    Output: url, host, host_rank (≤ per_host_budget) — the deterministic
+    fetch list for the next crawl round.
+
+    Scale posture (10^12 pages): every stage is keyed or map-side — the
+    html column never shuffles (outlinks collapse map-side), frontier
+    candidates shuffle once on url for the distinct/anti-join, robots
+    rules fan out by host equijoin, and the budget rank is
+    skew-sharded. No stage is new machinery: this IS q59/q37/q61/q69/q66
+    composed, which is the point of relational operators.
+    """
+    from py_image_toolkit_spark.operators.graph import extract_outlinks
+
+    cand = (
+        extract_outlinks(pages, url_col=url_col)
+        .select(canonical_url(F.col("url")).alias("url"))
+        .distinct()
+    )
+    seen = crawled.select(canonical_url(F.col(url_col)).alias("url")).distinct()
+    new = cand.join(seen, "url", "left_anti")
+    kept = (
+        url_filter(new, blocked_hosts, blocked_url_patterns)
+        .filter(F.col("verdict") == "kept")
+        .select("url")
+    )
+    if robots is not None:
+        kept = robots_gate(kept, robots).filter(F.col("allowed")).select("url")
+    return host_cap(kept, per_host_budget, url_col="url", id_col="url").select(
+        "url", "host", "host_rank"
+    )

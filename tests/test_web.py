@@ -299,3 +299,64 @@ def test_robots_gate_plan_is_host_equijoin(spark):
     # the prefix test must never be a join condition
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# crawl-frontier assembly (q76)
+# ---------------------------------------------------------------------------
+
+
+def test_crawl_frontier_composes_all_gates(spark):
+    from py_image_toolkit_spark.operators.web import crawl_frontier, robots_rules
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://a.example/page1",
+                b'<a href="https://b.example/new">x</a>'
+                b'<a href="/local">y</a>'
+                b'<a href="https://blocked.example/z">z</a>'
+                b'<a href="https://a.example/page1#frag">self</a>'
+                b'<a href="relative.html">dropped</a>',
+            ),
+        ],
+        "url string, html binary",
+    )
+    robots = robots_rules(
+        spark.createDataFrame(
+            [("b.example", "User-agent: *\nDisallow: /new\n")],
+            "host string, robots_txt string",
+        )
+    )
+    out = crawl_frontier(
+        pages,
+        crawled=pages.select("url"),
+        robots=robots,
+        blocked_hosts=("blocked.example",),
+        per_host_budget=5,
+    ).collect()
+    urls = sorted(r.url for r in out)
+    # https://b.example/new -> robots-blocked; blocked.example -> blocklist;
+    # #frag canonicalizes to the already-crawled page1 -> anti-joined;
+    # bare-relative href dropped; only the root-relative survives
+    assert urls == ["https://a.example/local"]
+    assert out[0].host == "a.example" and out[0].host_rank == 1
+
+
+def test_crawl_frontier_budget_caps_per_host(spark):
+    from py_image_toolkit_spark.operators.web import crawl_frontier
+
+    links = "".join(f'<a href="https://hot.example/p{i}">l</a>' for i in range(10))
+    pages = spark.createDataFrame(
+        [("https://seed.example/", links.encode())], "url string, html binary"
+    )
+    out = crawl_frontier(
+        pages, crawled=pages.select("url"), per_host_budget=3
+    ).collect()
+    assert len(out) == 3
+    assert sorted(r.host_rank for r in out) == [1, 2, 3]
+    # rerun yields the same deterministic pick
+    again = crawl_frontier(
+        pages, crawled=pages.select("url"), per_host_budget=3
+    ).collect()
+    assert sorted(r.url for r in out) == sorted(r.url for r in again)
