@@ -3976,3 +3976,73 @@ def q76(spark, sf_dir):
         blocked_url_patterns=(r"^https://src1[0-9]\.example\.com/a$",),
         per_host_budget=1,
     ).orderBy("url")
+
+
+@register(
+    "q77_winnow_neardup_pairs",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 50000 AS doc_id, 'copy edition ' || text AS text
+      FROM documents WHERE doc_id % 9 = 0
+    ),
+    toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+      FROM corpus
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos, md5(array_to_string(arr[i:i+4], ' ')) AS g
+      FROM toks, UNNEST(generate_series(1, len(arr) - 4)) AS t(i)
+      WHERE len(arr) >= 5
+    ),
+    keyed AS (
+      SELECT doc_id, pos,
+             g || lpad(CAST(100000000 - pos AS VARCHAR), 9, '0') AS key,
+             MAX(pos) OVER (PARTITION BY doc_id) AS maxpos
+      FROM grams
+    ),
+    picked AS (
+      SELECT doc_id, pos, maxpos,
+             MIN(key) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+             ) AS pick
+      FROM keyed
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, substr(pick, 1, 32) AS fp_hash
+      FROM picked WHERE pos <= maxpos - 3
+    ),
+    eligible AS (
+      SELECT fp_hash FROM (
+        SELECT fp_hash, COUNT(DISTINCT doc_id) AS nd FROM fps GROUP BY fp_hash
+      ) WHERE nd BETWEEN 2 AND 16
+    ),
+    pruned AS (SELECT * FROM fps WHERE fp_hash IN (SELECT fp_hash FROM eligible))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM pruned a JOIN pruned b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+    ORDER BY id_a, id_b
+    """,
+)
+def q77(spark, sf_dir):
+    """MOSS near-dup pairs over winnowing fingerprints (operators/dedup.py
+    winnow_neardup_pairs): pairs sharing ≥2 distinct selected hashes,
+    with a 16-doc hash-frequency cap as the boilerplate/LSH-bucket guard.
+    Fixture: every 9th doc gains a 'copy edition' variant sharing its
+    whole text, so true near-dup pairs exist by construction. Scale
+    shape: fp_hash equijoin with bounded fan-out + one pair-keyed
+    groupBy — never doc × doc."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 50000).alias("doc_id"),
+            F.concat(F.lit("copy edition "), F.col("text")).alias("text"),
+        )
+    )
+    return D.winnow_neardup_pairs(corpus, min_shared=2, max_hash_df=16).orderBy(
+        "id_a", "id_b"
+    )

@@ -752,3 +752,53 @@ def winnow_fingerprints(
         .distinct()
     )
     return sel
+
+
+def winnow_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_hash_df: int = 16,
+) -> DataFrame:
+    """MOSS-style near-duplicate detection over winnowing fingerprints:
+    document pairs sharing ≥ ``min_shared`` distinct selected hashes.
+    This is what the winnowing sketch exists for — candidate pairs from
+    ~2/(w+1) of the grams instead of all of them, with the guarantee
+    that any shared run of ≥ w+k−1 tokens still collides.
+
+    Fingerprints present in more than ``max_hash_df`` documents are
+    dropped before pairing (boilerplate guard — the same bucket-size cap
+    every LSH join needs: a hash shared by 10⁶ docs would otherwise
+    expand to 10¹² pairs).
+
+    Output: id_a < id_b, shared_fps.
+
+    Scale posture (100 TB): fingerprint sets are doc-local and sparse;
+    the pair join is a fp_hash-keyed equijoin whose fan-out is bounded
+    by max_hash_df², followed by one pair-keyed groupBy — never
+    doc × doc, and AQE skew-split covers residual hot hashes.
+    """
+    fps = (
+        winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+        .select(F.col(id_col), "fp_hash")
+        .distinct()
+    )
+    eligible = (
+        fps.groupBy("fp_hash")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= max_hash_df))
+        .select("fp_hash")
+    )
+    pruned = fps.join(eligible, "fp_hash", "left_semi")
+    a = pruned.select(F.col("fp_hash"), F.col(id_col).alias("id_a"))
+    b = pruned.select(F.col("fp_hash"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

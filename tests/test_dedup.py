@@ -536,3 +536,27 @@ def test_winnowing_short_doc_yields_nothing(spark):
         "doc_id long, text string",
     )
     assert D.winnow_fingerprints(df, k=5, w=4).count() == 0
+
+
+def test_winnow_neardup_pairs_finds_shared_suffix_docs(spark):
+    base = " ".join(f"body{i} filler{i % 3}" for i in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "prefix alpha " + base),          # near-dup of 1
+            (3, "completely unrelated text " + " ".join(f"z{i}" for i in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = D.winnow_neardup_pairs(df, min_shared=2).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].shared_fps >= 2
+
+
+def test_winnow_neardup_hot_hash_cap_suppresses_boilerplate_blowup(spark):
+    # 20 docs all sharing the same 12-token boilerplate: every fingerprint
+    # from that run has df=20 > max_hash_df=4 and must be pruned
+    boiler = " ".join(f"b{i}" for i in range(12))
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert D.winnow_neardup_pairs(df, min_shared=1, max_hash_df=4).count() == 0
