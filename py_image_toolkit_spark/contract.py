@@ -4046,3 +4046,109 @@ def q77(spark, sf_dir):
     return D.winnow_neardup_pairs(corpus, min_shared=2, max_hash_df=16).orderBy(
         "id_a", "id_b"
     )
+
+
+ORACLE_SQL["q78_release_gate"] = f"""
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 70000 AS doc_id, text, lang
+      FROM documents WHERE doc_id % 19 = 0
+    ),
+    base AS (
+      SELECT doc_id, lang,
+        CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+          AS BIGINT) AS n_tokens,
+        CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+          AS BIGINT) AS n_punct,
+        CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))
+          AS BIGINT) AS n_digits,
+        CAST(len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+             x -> x IN ({', '.join(repr(w) for w in T.EN_STOPWORDS)})))
+          AS BIGINT) AS n_stopwords
+      FROM corpus
+    ),
+    derived AS (
+      SELECT doc_id, lang, n_tokens,
+        CAST(LEAST(n_chars, 500) * 1000
+             + CAST(FLOOR(n_stopwords * 1000000.0 / GREATEST(n_tokens, 1) + 0.5) AS BIGINT)
+             - CAST(FLOOR(n_punct * 1000000.0 / GREATEST(n_chars, 1) + 0.5) AS BIGINT)
+             - n_digits * 100 AS BIGINT) AS quality_score
+      FROM base
+    ),
+    ref AS (SELECT text FROM corpus WHERE lang = 'en'),
+    tri_ref AS (
+      SELECT substring(text, i, 3) AS tri
+      FROM ref, UNNEST(generate_series(1, length(text) - 2)) AS t(i)
+      WHERE length(text) >= 3
+    ),
+    tri_c AS (SELECT tri, COUNT(*) AS c_tri FROM tri_ref GROUP BY tri),
+    bi_ref AS (
+      SELECT substring(text, i, 2) AS bi
+      FROM ref, UNNEST(generate_series(1, length(text) - 1)) AS t(i)
+      WHERE length(text) >= 2
+    ),
+    bi_c AS (SELECT bi, COUNT(*) AS c_bi FROM bi_ref GROUP BY bi),
+    model AS (
+      SELECT tri, (1000000 * c_tri) // c_bi AS score_micro
+      FROM tri_c JOIN bi_c ON substring(tri, 1, 2) = bi
+    ),
+    doc_tri AS (
+      SELECT doc_id, substring(text, i, 3) AS tri
+      FROM corpus, UNNEST(generate_series(1, length(text) - 2)) AS t(i)
+      WHERE length(text) >= 3
+    ),
+    fl AS (
+      SELECT d.doc_id, SUM(COALESCE(m.score_micro, 0)) // COUNT(*) AS fluency
+      FROM doc_tri d LEFT JOIN model m ON d.tri = m.tri
+      GROUP BY d.doc_id
+    ),
+    hashes AS (SELECT doc_id, md5(text) AS h FROM corpus),
+    canon AS (SELECT h, MIN(doc_id) AS cid FROM hashes GROUP BY h),
+    j AS (
+      SELECT v.doc_id, v.lang, v.n_tokens, v.quality_score,
+             CAST(COALESCE(f.fluency, 0) AS BIGINT) AS fluency_micro,
+             c.cid
+      FROM derived v
+      JOIN hashes h2 ON v.doc_id = h2.doc_id
+      JOIN canon c ON h2.h = c.h
+      LEFT JOIN fl f ON v.doc_id = f.doc_id
+    ),
+    verdict AS (
+      SELECT *,
+        CASE WHEN lang <> 'en' THEN 'lang'
+             WHEN n_tokens < 15 THEN 'too_short'
+             WHEN quality_score < 250000 THEN 'low_quality'
+             WHEN fluency_micro < 640000 THEN 'low_fluency'
+             WHEN doc_id <> cid THEN 'exact_dup'
+        END AS reason
+      FROM j
+    )
+    SELECT doc_id, lang, n_tokens, quality_score, fluency_micro,
+           reason IS NULL AS kept, reason
+    FROM verdict ORDER BY doc_id
+    """
+
+
+@register("q78_release_gate", ORACLE_SQL["q78_release_gate"])
+def q78(spark, sf_dir):
+    """Corpus-release decision table (operators/corpus.py release_gate):
+    every document gets kept/dropped with its FIRST failing gate as an
+    auditable reason — lang → too_short → low_quality (q25's composite)
+    → low_fluency (q71's char-LM) → exact_dup (md5 canonical, min id
+    keeps) — the release-side sibling of q76's crawl composition. The
+    fixture injects exact duplicates (every 19th doc re-appears at
+    id+70000) so the dedup gate fires; precedence means a non-English
+    duplicate reads 'lang', not 'exact_dup'. The oracle replays all five
+    gates and the precedence chain in SQL."""
+    from py_image_toolkit_spark.operators.corpus import release_gate
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 19 == 0).select(
+            (F.col("doc_id") + 70000).alias("doc_id"), "text", "lang"
+        )
+    )
+    model = T.char_lm_model(corpus.filter(F.col("lang") == "en"))
+    return release_gate(corpus, lm_model=model).orderBy("doc_id")

@@ -461,3 +461,84 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(qid_col, "rank", id_col, "score_micro", "matched_terms")
     )
+
+
+def release_gate(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 15,
+    min_quality: int = 250_000,
+    lm_model: DataFrame | None = None,
+    min_fluency_micro: int = 640_000,
+) -> DataFrame:
+    """The corpus-release decision table: every document gets a kept/
+    dropped verdict with its FIRST failing gate as the reason — the
+    lineage a dataset release ships so every exclusion is auditable
+    (the release-side sibling of q76's crawl-frontier composition).
+
+    Gates in precedence order (first match wins):
+
+      lang        — language not in the release set;
+      too_short   — fewer than ``min_tokens`` whitespace tokens;
+      low_quality — q25's composite curation score below threshold;
+      low_fluency — q71's char-trigram LM score below threshold
+                    (skipped when no model is given);
+      exact_dup   — a non-canonical member of an md5(text) duplicate
+                    group (min id is the keeper).
+
+    Output: id, lang, n_tokens, quality_score, fluency_micro, kept,
+    reason (NULL when kept).
+
+    Scale posture (100 TB): quality features are pure per-row Columns;
+    the LM score is one broadcast join + doc-keyed groupBy (q71's
+    shape); exact-dup canonicalization is one hash-keyed groupBy + one
+    id-keyed equijoin back. No gate re-reads text after its own pass.
+    """
+    from py_image_toolkit_spark.operators.text_stats import (
+        char_lm_score,
+        quality_score,
+    )
+
+    q = quality_score(docs, id_col, text_col)
+    hashed = docs.select(F.col(id_col), _md5(F.col(text_col)).alias("_h"))
+    canon = hashed.groupBy("_h").agg(F.min(id_col).alias("_canonical"))
+    dup = hashed.join(canon, "_h").select(id_col, "_canonical")
+
+    j = (
+        docs.select(F.col(id_col), F.col(lang_col))
+        .join(q.select(id_col, "n_tokens", "quality_score"), id_col)
+        .join(dup, id_col)
+    )
+    if lm_model is not None:
+        fl = char_lm_score(docs, lm_model, id_col, text_col).select(
+            id_col, "fluency_micro"
+        )
+        j = j.join(fl, id_col, "left").withColumn(
+            "fluency_micro", F.coalesce(F.col("fluency_micro"), F.lit(0)).cast("long")
+        )
+    else:
+        j = j.withColumn("fluency_micro", F.lit(None).cast("long"))
+
+    reason = (
+        F.when(~F.col(lang_col).isin(*langs), F.lit("lang"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("quality_score") < min_quality, F.lit("low_quality"))
+    )
+    if lm_model is not None:
+        reason = reason.when(
+            F.col("fluency_micro") < min_fluency_micro, F.lit("low_fluency")
+        )
+    reason = reason.when(F.col(id_col) != F.col("_canonical"), F.lit("exact_dup"))
+
+    return j.select(
+        id_col,
+        lang_col,
+        "n_tokens",
+        "quality_score",
+        "fluency_micro",
+        reason.isNull().alias("kept"),
+        reason.alias("reason"),
+    )

@@ -232,3 +232,32 @@ def test_bm25_ranks_selective_terms_and_shorter_docs_higher(spark):
     # q3: no matches at all
     assert 3 not in by_q
     assert all(r.matched_terms == 1 for q in by_q.values() for r in q)
+
+
+def test_release_gate_precedence_and_reasons(spark):
+    from py_image_toolkit_spark.operators.corpus import release_gate
+    from py_image_toolkit_spark.operators.text_stats import char_lm_model
+
+    good = (
+        "the cat sat on the mat and the dog ran to the park near the old "
+        "mill where the children play on sunny days with their friends"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en"),                          # kept
+            (2, good, "de"),                          # lang (wins over dup of 1? no - different id, same text as 1!)
+            (3, "short text", "en"),                  # too_short
+            (4, good, "en"),                          # exact_dup of 1 (min id keeps)
+            (5, "!!! ??? *** !!! ??? *** !!! ??? *** !!! ??? *** !!! ??? ***", "en"),  # low_quality
+        ],
+        "doc_id long, text string, lang string",
+    )
+    model = char_lm_model(docs.filter("lang = 'en'"))
+    out = {r.doc_id: r for r in release_gate(docs, lm_model=model).collect()}
+    assert out[1].kept and out[1].reason is None
+    # precedence: doc 2 duplicates doc 1's text but fails the lang gate first
+    assert out[2].reason == "lang"
+    assert out[3].reason == "too_short"
+    assert out[4].reason == "exact_dup"
+    assert out[5].reason in ("low_quality", "too_short")  # quality gate fires
+    assert not out[5].kept
