@@ -4152,3 +4152,75 @@ def q78(spark, sf_dir):
     )
     model = T.char_lm_model(corpus.filter(F.col("lang") == "en"))
     return release_gate(corpus, lm_model=model).orderBy("doc_id")
+
+
+@register(
+    "q79_budget_allocation",
+    """
+    WITH w AS (
+      SELECT source,
+             CAST(50000 * (1 + CAST(regexp_extract(source, '^src([0-9]+)', 1) AS INT) % 3)
+               AS BIGINT) AS weight_ppm
+      FROM (SELECT DISTINCT source FROM documents)
+    ),
+    toks AS (
+      SELECT doc_id, source,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS BIGINT) AS n_tokens,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS pfx
+      FROM documents
+    ),
+    avail AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens
+      FROM toks GROUP BY source
+    ),
+    wsum AS (SELECT CAST(SUM(weight_ppm) AS BIGINT) AS ws FROM w),
+    alloc AS (
+      SELECT a.source, a.n_docs, a.avail_tokens,
+             CAST(8000 * COALESCE(w.weight_ppm, 0) // s.ws AS BIGINT)
+               AS target_tokens,
+             LEAST(CAST(1000000 AS BIGINT),
+                   1000000 * (8000 * COALESCE(w.weight_ppm, 0) // s.ws)
+                     // GREATEST(a.avail_tokens, 1)) AS rate_ppm
+      FROM avail a LEFT JOIN w ON a.source = w.source CROSS JOIN wsum s
+    ),
+    thr AS (
+      SELECT *,
+             CASE WHEN rate_ppm >= 1000000 THEN 'g'
+                  ELSE lpad(lower(hex(4294967296 * rate_ppm // 1000000)), 8, '0')
+             END AS t
+      FROM alloc
+    ),
+    kept AS (
+      SELECT k.source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+             CAST(SUM(k.n_tokens) AS BIGINT) AS kept_tokens
+      FROM toks k JOIN thr ON k.source = thr.source AND k.pfx < thr.t
+      GROUP BY k.source
+    )
+    SELECT a.source, a.n_docs, a.avail_tokens, a.target_tokens, a.rate_ppm,
+           CAST(COALESCE(kept.kept_docs, 0) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(kept.kept_tokens, 0) AS BIGINT) AS kept_tokens
+    FROM thr a LEFT JOIN kept ON a.source = kept.source
+    ORDER BY a.source
+    """,
+)
+def q79(spark, sf_dir):
+    """Token-budget allocation (operators/corpus.py budget_allocation):
+    an 8k-token budget split across sources by ppm weights (fixture:
+    weight 50k·(1+K%3) for srcK), realized as deterministic md5-threshold
+    keep-rates — the static DoReMi-style mix step. Under-supplied sources
+    cap at keep-everything; excess is not redistributed (auditable
+    allocations). The oracle recomputes targets, rates, the hex threshold
+    encoding and the kept rollup independently."""
+    from py_image_toolkit_spark.operators.corpus import budget_allocation
+
+    d = t(spark, sf_dir, "documents")
+    weights = d.select("source").distinct().select(
+        "source",
+        (
+            50000
+            * (1 + F.regexp_extract(F.col("source"), r"^src([0-9]+)", 1).cast("int") % 3)
+        ).cast("long").alias("weight_ppm"),
+    )
+    return budget_allocation(d, budget_tokens=8000, weights=weights).orderBy("source")

@@ -542,3 +542,100 @@ def release_gate(
         reason.isNull().alias("kept"),
         reason.alias("reason"),
     )
+
+
+def budget_allocation(
+    docs: DataFrame,
+    budget_tokens: int,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Training-mix token-budget allocator: given a global token budget
+    and per-source mix weights (a ``(source, weight_ppm)`` table), compute
+    each source's token target, the deterministic md5-threshold keep-rate
+    that realizes it, and the ACTUAL kept docs/tokens under that cut —
+    the static DoReMi-style step that turns "mix 30% wiki / 60% web /
+    10% code" into concrete reproducible per-source samples.
+
+        target_s   = budget · w_s DIV Σw
+        rate_ppm_s = min(1e6, 1e6·target_s DIV avail_s)   [under-supplied
+                     sources cap at keep-everything; excess budget is NOT
+                     redistributed — rerun with rebalanced weights if a
+                     source runs dry, so allocations stay auditable]
+
+    The keep decision reuses the hash_sample/weighted_sample mechanism
+    (md5 8-hex prefix < per-source threshold), so budget cuts are nested:
+    raising a source's weight strictly grows its sample.
+
+    Output: source, n_docs, avail_tokens, target_tokens, rate_ppm,
+    kept_docs, kept_tokens.
+
+    Scale posture (100 TB): one source-keyed groupBy for availability
+    (map-side combinable), the allocation table is sources-sized and
+    broadcasts onto a map-side filter, one more source-keyed groupBy for
+    the kept rollup. Integer products are ordered to stay < 2^63 at
+    10^12-token budgets.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.size(tokens_array(F.col(text_col))).cast("long").alias("n_tokens"),
+        F.substring(
+            F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8
+        ).alias("_pfx"),
+    )
+    avail = toks.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("avail_tokens"),
+    )
+    wsum = weights.agg(F.sum("weight_ppm").cast("long").alias("_wsum"))
+    alloc = (
+        avail.join(weights, source_col, "left")
+        .withColumn("weight_ppm", F.coalesce(F.col("weight_ppm"), F.lit(0)).cast("long"))
+        .crossJoin(F.broadcast(wsum))
+        .withColumn(
+            "target_tokens",
+            F.expr(f"CAST({budget_tokens} AS BIGINT) * weight_ppm DIV _wsum"),
+        )
+        .withColumn(
+            "rate_ppm",
+            F.expr(
+                "LEAST(CAST(1000000 AS BIGINT),"
+                " CAST(1000000 AS BIGINT) * target_tokens"
+                " DIV GREATEST(avail_tokens, CAST(1 AS BIGINT)))"
+            ),
+        )
+        .withColumn(
+            "_thr",
+            F.when(F.col("rate_ppm") >= 1_000_000, F.lit("g")).otherwise(
+                F.lpad(
+                    F.lower(
+                        F.hex(F.expr("CAST(4294967296 AS BIGINT) * rate_ppm DIV 1000000"))
+                    ),
+                    8,
+                    "0",
+                )
+            ),
+        )
+    )
+    kept = toks.join(
+        F.broadcast(alloc.select(source_col, "_thr")), source_col
+    ).filter(F.col("_pfx") < F.col("_thr"))
+    summary = kept.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("long").alias("kept_docs"),
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+    )
+    return (
+        alloc.join(summary, source_col, "left")
+        .select(
+            source_col,
+            "n_docs",
+            "avail_tokens",
+            "target_tokens",
+            "rate_ppm",
+            F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias("kept_docs"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+    )

@@ -261,3 +261,32 @@ def test_release_gate_precedence_and_reasons(spark):
     assert out[4].reason == "exact_dup"
     assert out[5].reason in ("low_quality", "too_short")  # quality gate fires
     assert not out[5].kept
+
+
+def test_budget_allocation_invariants(spark):
+    from py_image_toolkit_spark.operators.corpus import budget_allocation
+
+    rows = [
+        (i, "tok " * 10, ["big", "small", "zero"][i % 3]) for i in range(90)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    weights = spark.createDataFrame(
+        [("big", 900_000), ("small", 100_000), ("zero", 0)],
+        "source string, weight_ppm long",
+    )
+    out = {r.source: r for r in budget_allocation(docs, 400, weights).collect()}
+    # zero-weight source: no target, nothing kept
+    assert out["zero"].target_tokens == 0 and out["zero"].kept_docs == 0
+    # big gets 9x small's target
+    assert out["big"].target_tokens == 360 and out["small"].target_tokens == 40
+    # big's target > its 300 available tokens -> rate caps at keep-everything
+    assert out["big"].rate_ppm == 1_000_000
+    assert out["big"].kept_docs == out["big"].n_docs == 30
+    # small keeps a proper subset, roughly on target (doc granularity = 10)
+    assert 0 < out["small"].kept_docs < 30
+    assert out["small"].kept_tokens == out["small"].kept_docs * 10
+
+    # nested cuts: doubling the budget grows every source's sample
+    out2 = {r.source: r for r in budget_allocation(docs, 800, weights).collect()}
+    for s in ("big", "small"):
+        assert out2[s].kept_docs >= out[s].kept_docs
