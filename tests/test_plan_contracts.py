@@ -230,3 +230,61 @@ def test_hashed_linear_score_has_single_aggregation_no_join_on_tokens(spark):
     # the single aggregation, so the whole plan is join-free
     assert "Join" not in plan
     assert plan.count("HashAggregate") <= 2  # partial + final of ONE groupBy
+
+
+def test_substring_span_dedup_plan_is_keyed_only(spark):
+    from py_image_toolkit_spark.operators.dedup import substring_span_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta eta theta iota kappa") for i in range(12)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(substring_span_dedup(docs, k=8))
+    # gram groupBy + gram semi-join + (doc,pos) equijoin + doc window/agg —
+    # never a quadratic comparison path
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_neardup_plan_is_keyed_only(spark):
+    from py_image_toolkit_spark.operators.dedup import winnow_neardup_pairs
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i, i + 15))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(winnow_neardup_pairs(docs))
+    # the pair producer must be an fp_hash equijoin, never all-pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bm25_broadcasts_query_side(spark):
+    from py_image_toolkit_spark.operators.corpus import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"term{i % 5} filler common words") for i in range(30)],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "term1 common"), (2, "term2")], "query_id long, qtext string"
+    )
+    plan = plan_of(bm25_topk(docs, queries, k=3))
+    assert "CartesianProduct" not in plan
+    # the query token set rides a broadcast onto the corpus tf table (the
+    # corpus never re-shuffles per query) and the scalar row broadcasts too
+    assert plan.count("BroadcastExchange") >= 2
+
+
+def test_release_gate_no_quadratic_paths(spark):
+    from py_image_toolkit_spark.operators.corpus import release_gate
+    from py_image_toolkit_spark.operators.text_stats import char_lm_model
+
+    docs = spark.createDataFrame(
+        [(i, "the cat sat on the mat again and again today", "en") for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    model = char_lm_model(docs)
+    plan = plan_of(release_gate(docs, lm_model=model))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
