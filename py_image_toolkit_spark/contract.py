@@ -4224,3 +4224,35 @@ def q79(spark, sf_dir):
         ).cast("long").alias("weight_ppm"),
     )
     return budget_allocation(d, budget_tokens=8000, weights=weights).orderBy("source")
+
+
+@register(
+    "q80_pool_embeddings",
+    """
+    WITH g AS (
+      SELECT vec_id // 8 AS doc_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)) AS mv
+      FROM embeddings
+    )
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS dim,
+           CAST(FLOOR(CAST(SUM(mv[i]) AS DOUBLE) / COUNT(*)) AS BIGINT)
+             AS mean_micro
+    FROM g, UNNEST(generate_series(1, len(mv))) AS t(i)
+    GROUP BY doc_id, i
+    ORDER BY doc_id, dim
+    """,
+)
+def q80(spark, sf_dir):
+    """Chunk→document embedding pooling (operators/similarity.py
+    pool_embeddings): groups of 8 chunk vectors mean-pool into one
+    document vector in exact int64 micro-units (floor-micro elements,
+    commutative integer zip_with fold, FLOOR of an exact-int double
+    division — the kmeans-update recipe). The engine keeps vectors PACKED
+    through the single group shuffle and explodes only the one pooled row
+    per group; the oracle pools via the explode-first plan, so matching
+    hashes prove the fold ≡ the per-dimension aggregation."""
+    e = t(spark, sf_dir, "embeddings").select(
+        F.expr("vec_id DIV 8").alias("doc_id"), "embedding"
+    )
+    return S.pool_embeddings(e).orderBy("doc_id", "dim")

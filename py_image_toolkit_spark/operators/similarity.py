@@ -301,3 +301,48 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("probe_id", "rank", "corpus_id", "cos_micro")
     )
+
+
+def pool_embeddings(
+    chunks: DataFrame,
+    group_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Mean-pool chunk/passage vectors into one vector per group — how a
+    long document gets its embedding from its chunk embeddings (the
+    aggregation side of chunk_documents). Exact int64 micro-unit
+    arithmetic: elements floor to micro ints up front, the per-group sum
+    is an integer zip_with fold (commutative — immune to aggregation
+    order), and the mean is FLOOR of an IEEE double division of exact
+    ints, the same cross-engine-identical recipe as
+    train_kmeans_centroids' update step.
+
+    Output: (group, dim, mean_micro) EXPLODED rows — the relational shape
+    any per-dimension consumer wants, and driver-hashable.
+
+    Scale posture (100 TB): vectors stay PACKED through the one group
+    shuffle (collect_list of bounded chunks-per-doc, then an in-row
+    fold) — a posexplode-first plan would multiply shuffle rows by the
+    dimensionality; the explode here happens after the per-group
+    reduction, on one row per group.
+    """
+    micro = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * 1_000_000 + F.lit(0.5)).cast("long"),
+    )
+    g = chunks.select(F.col(group_col), micro.alias("_mv"))
+    agg = g.groupBy(group_col).agg(
+        F.collect_list("_mv").alias("_lst"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    zeros = F.transform(F.element_at(F.col("_lst"), 1), lambda _: F.lit(0).cast("long"))
+    summed = F.aggregate(
+        F.col("_lst"), zeros, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
+    )
+    mean = F.transform(
+        summed,
+        lambda s: F.floor(s.cast("double") / F.col("_n")).cast("long"),
+    )
+    return agg.select(
+        F.col(group_col), F.posexplode(mean).alias("dim", "mean_micro")
+    ).select(group_col, F.col("dim").cast("long").alias("dim"), "mean_micro")

@@ -120,3 +120,37 @@ def test_explicit_local_checkpoint_mode_ignores_dir(spark, tmp_path):
     edges = [(1, 2), (2, 3)]
     got = _labels(cluster_pairs(_pairs(spark, edges), checkpoint="local"))
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_pool_embeddings_exact_mean_and_order_independence(spark):
+    from py_image_toolkit_spark.operators.similarity import pool_embeddings
+
+    rows = [
+        (1, [1.0, -2.0, 0.5]),
+        (1, [3.0, 4.0, -0.5]),
+        (2, [10.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, embedding array<double>")
+    out = {(r.doc_id, r.dim): r.mean_micro for r in pool_embeddings(df).collect()}
+    # group 1: means (2.0, 1.0, 0.0) -> micro (2_000_000, 1_000_000, 0)
+    assert out[(1, 0)] == 2_000_000 and out[(1, 1)] == 1_000_000 and out[(1, 2)] == 0
+    # singleton group passes through
+    assert out[(2, 0)] == 10_000_000
+    # negative odd mean floors toward -inf (cross-engine FLOOR semantics):
+    # (-1 + -2) / 2 = -1.5e6 -> -1_500_000; (1 + -2)/2 micro -> -500_000
+    df2 = spark.createDataFrame(
+        [(1, [-1.0, 1.0]), (1, [-2.0, -2.0])], "doc_id long, embedding array<double>"
+    )
+    out2 = {r.dim: r.mean_micro for r in pool_embeddings(df2).collect()}
+    assert out2[0] == -1_500_000 and out2[1] == -500_000
+    # order independence: reversed input, identical result
+    out3 = {
+        r.dim: r.mean_micro
+        for r in pool_embeddings(
+            spark.createDataFrame(
+                [(1, [-2.0, -2.0]), (1, [-1.0, 1.0])],
+                "doc_id long, embedding array<double>",
+            )
+        ).collect()
+    }
+    assert out3 == out2
