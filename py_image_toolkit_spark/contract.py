@@ -4256,3 +4256,76 @@ def q80(spark, sf_dir):
         F.expr("vec_id DIV 8").alias("doc_id"), "embedding"
     )
     return S.pool_embeddings(e).orderBy("doc_id", "dim")
+
+
+def _bloom_bit_sql(j: int, g: str = "g", m: int = 65536) -> str:
+    """DuckDB rendering of dedup._bloom_bit: first 4 md5 nibbles → int,
+    mod m (same value as Spark's conv(substr(md5,1,4),16,10))."""
+    h = f"md5('{j}|' || {g})"
+
+    def nib(i: int) -> str:
+        return f"(instr('0123456789abcdef', substr({h}, {i}, 1)) - 1)"
+
+    return f"(({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)}) % {m})"
+
+
+ORACLE_SQL["q81_bloom_decontaminate"] = f"""
+    WITH ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 = 0),
+    ev_toks AS (
+      SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+      FROM ev
+    ),
+    ev_grams AS (
+      SELECT DISTINCT array_to_string(arr[i:i+2], ' ') AS g
+      FROM ev_toks, UNNEST(generate_series(1, len(arr) - 2)) AS t(i)
+      WHERE len(arr) >= 3
+    ),
+    bloom AS (
+      SELECT DISTINCT bit FROM (
+        SELECT {_bloom_bit_sql(0)} AS bit FROM ev_grams
+        UNION ALL SELECT {_bloom_bit_sql(1)} FROM ev_grams
+        UNION ALL SELECT {_bloom_bit_sql(2)} FROM ev_grams
+      )
+    ),
+    c_toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    cg AS (
+      SELECT DISTINCT doc_id, array_to_string(arr[i:i+2], ' ') AS g
+      FROM c_toks, UNNEST(generate_series(1, len(arr) - 2)) AS t(i)
+      WHERE len(arr) >= 3
+    ),
+    flagged AS (
+      SELECT doc_id, COUNT(*) AS flagged_grams
+      FROM cg
+      WHERE {_bloom_bit_sql(0)} IN (SELECT bit FROM bloom)
+        AND {_bloom_bit_sql(1)} IN (SELECT bit FROM bloom)
+        AND {_bloom_bit_sql(2)} IN (SELECT bit FROM bloom)
+      GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, COUNT(*) AS n_grams FROM cg GROUP BY doc_id)
+    SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(f.flagged_grams, 0) AS BIGINT) AS flagged_grams,
+           CAST((1000000 * COALESCE(f.flagged_grams, 0)) // t.n_grams AS BIGINT)
+             AS flagged_micro
+    FROM totals t LEFT JOIN flagged f ON t.doc_id = f.doc_id
+    ORDER BY t.doc_id
+    """
+
+
+@register("q81_bloom_decontaminate", ORACLE_SQL["q81_bloom_decontaminate"])
+def q81(spark, sf_dir):
+    """Bloom-filter decontamination (operators/dedup.py
+    bloom_decontaminate) — the constant-size sibling of q44's broadcast
+    probe: the eval slice (every 13th doc) folds into a 65536-bit filter
+    (≤ m rows no matter how large the benchmark suite), corpus word
+    trigrams are flagged when all 3 md5 probes hit. False positives are
+    possible by design and deterministic — the oracle replays the same
+    probes nibble-for-nibble, so the hash gate covers the FP set too.
+    The corpus never shuffles for membership: probes are map-side against
+    the broadcast filter, then one doc-keyed rollup."""
+    d = t(spark, sf_dir, "documents")
+    return D.bloom_decontaminate(
+        d, d.filter(F.col("doc_id") % 13 == 0), n=3
+    ).orderBy("doc_id")

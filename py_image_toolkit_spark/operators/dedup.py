@@ -802,3 +802,88 @@ def winnow_neardup_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def _bloom_bit(col: Column, seed: int, m_bits: int) -> Column:
+    """Deterministic Bloom probe: int of md5(seed‖value)'s first 4 hex
+    chars, mod m_bits — reproducible across engines (pure md5, no
+    platform hash)."""
+    h = _md5(F.concat(F.lit(f"{seed}|"), col))
+    return (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % m_bits).alias("bit")
+
+
+def bloom_build(
+    grams: DataFrame, gram_col: str = "shingle", m_bits: int = 65536, k_hashes: int = 3
+) -> DataFrame:
+    """The SET BIT POSITIONS of a Bloom filter over a gram column — at
+    most ``m_bits`` rows regardless of how many grams went in. This is
+    the constant-size membership structure that replaces shipping the
+    raw gram set when it no longer broadcasts comfortably."""
+    probes = F.array(
+        *[_bloom_bit(F.col(gram_col), j, m_bits) for j in range(k_hashes)]
+    )
+    return grams.select(F.explode(probes).alias("bit")).distinct()
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    m_bits: int = 65536,
+    k_hashes: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination via a relational Bloom filter — the
+    scale path beside q44's broadcast-probe: the eval set folds into an
+    m-bit filter (≤ m_bits rows, CONSTANT in eval-set size), and a
+    corpus n-gram is flagged when ALL k probes hit. False positives are
+    possible by design (≈ (1−e^{−kn/m})^k) and fully deterministic —
+    both engines replay the same md5 probes, so the oracle matches
+    bit-for-bit including the FP set.
+
+    Output per doc: n_grams (distinct), flagged_grams, flagged_micro.
+
+    Scale posture (100 TB): the filter is m_bits rows no matter how big
+    the benchmark suite grows — broadcast by construction; corpus grams
+    probe map-side (k semi-join-shaped hits counted per gram), then one
+    doc-keyed rollup. The corpus never shuffles for membership.
+    """
+    ev_grams = shingle_df(eval_df, id_col, text_col, k=n).select("shingle").distinct()
+    bloom = bloom_build(ev_grams, m_bits=m_bits, k_hashes=k_hashes)
+
+    cg = shingle_df(corpus, id_col, text_col, k=n)
+    probes = cg.select(
+        F.col(id_col),
+        F.col("shingle"),
+        F.posexplode(
+            F.array(*[_bloom_bit(F.col("shingle"), j, m_bits) for j in range(k_hashes)])
+        ).alias("_j", "bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(bloom), "bit", "left_semi")
+        .groupBy(id_col, "shingle")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .filter(F.col("_hits") == k_hashes)
+        .select(F.col(id_col), F.lit(1).alias("_flag"))
+    )
+    flagged = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("flagged_grams")
+    )
+    totals = cg.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    return (
+        totals.join(flagged, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("flagged_grams"), F.lit(0)).cast("long").alias(
+                "flagged_grams"
+            ),
+        )
+        .withColumn(
+            "flagged_micro",
+            F.expr("CAST(1000000 AS BIGINT) * flagged_grams DIV n_grams"),
+        )
+    )

@@ -560,3 +560,37 @@ def test_winnow_neardup_hot_hash_cap_suppresses_boilerplate_blowup(spark):
     rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c") for i in range(20)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     assert D.winnow_neardup_pairs(df, min_shared=1, max_hash_df=4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (q81)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_decontaminate_flags_eval_overlap(spark):
+    ev_text = "the exam question about spark shuffles appears here verbatim today"
+    docs = spark.createDataFrame(
+        [
+            (1, ev_text),                                   # the eval doc itself
+            (2, f"intro words {ev_text} closing words"),     # contains the eval text
+            (3, "entirely disjoint vocabulary zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = docs.filter("doc_id = 1")
+    out = {r.doc_id: r for r in D.bloom_decontaminate(docs, ev, n=3).collect()}
+    # every gram of the eval doc is in the filter -> fully flagged
+    assert out[1].flagged_micro == 1_000_000
+    # the containing doc flags at least the embedded grams
+    assert out[2].flagged_grams >= out[1].n_grams
+    # a tiny filter load (24 bits of 65536) makes 3-probe false positives
+    # on 6 disjoint grams astronomically unlikely -> exactly zero here
+    assert out[3].flagged_grams == 0
+
+
+def test_bloom_filter_is_constant_size(spark):
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    grams = D.shingle_df(docs, k=3).select("shingle").distinct()
+    bits = D.bloom_build(grams, m_bits=256, k_hashes=3)
+    assert bits.count() <= 256  # bounded by m regardless of gram count
