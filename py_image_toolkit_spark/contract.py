@@ -4329,3 +4329,95 @@ def q81(spark, sf_dir):
     return D.bloom_decontaminate(
         d, d.filter(F.col("doc_id") % 13 == 0), n=3
     ).orderBy("doc_id")
+
+
+_TABLE_PAGES_SQL = """
+    table_pages AS (
+      SELECT 'https://tbl.example/' || CAST(doc_id AS VARCHAR) AS url,
+             '<html><body><p>' || text || '</p>'
+             || '<table class="data"><tr><th>key</th><th>value</th></tr>'
+             || '<tr><td>id</td><td>' || CAST(doc_id AS VARCHAR) || '</td></tr>'
+             || '<tr><td><b>lang</b></td><td> ' || lang || ' </td></tr></table>'
+             || CASE WHEN doc_id % 4 = 0
+                     THEN '<table><tr><td>extra ' || source || '</td></tr></table>'
+                     ELSE '' END
+             || '</body></html>' AS html
+      FROM documents
+    )
+"""
+
+
+def _table_pages(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit('</p><table class="data"><tr><th>key</th><th>value</th></tr>'
+              "<tr><td>id</td><td>"),
+        F.col("doc_id").cast("string"),
+        F.lit("</td></tr><tr><td><b>lang</b></td><td> "),
+        F.col("lang"),
+        F.lit(" </td></tr></table>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("<table><tr><td>extra "), F.col("source"), F.lit("</td></tr></table>")),
+        ).otherwise(""),
+        F.lit("</body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("https://tbl.example/"), F.col("doc_id").cast("string")).alias("url"),
+        html.alias("html"),
+    )
+
+
+@register(
+    "q82_extract_tables",
+    f"""
+    WITH {_TABLE_PAGES_SQL},
+    t1 AS (
+      SELECT url, regexp_extract_all(html, '(?is)<table[^>]*>(.*?)</table>', 1) AS ts
+      FROM table_pages
+    ),
+    t2 AS (
+      SELECT url, i - 1 AS table_idx, ts[i] AS tb
+      FROM t1, UNNEST(generate_series(1, len(ts))) AS a(i)
+    ),
+    r1 AS (
+      SELECT url, table_idx, regexp_extract_all(tb, '(?is)<tr[^>]*>(.*?)</tr>', 1) AS rs
+      FROM t2
+    ),
+    r2 AS (
+      SELECT url, table_idx, j - 1 AS row_idx, rs[j] AS rw
+      FROM r1, UNNEST(generate_series(1, len(rs))) AS b(j)
+    ),
+    c1 AS (
+      SELECT url, table_idx, row_idx,
+             regexp_extract_all(rw, '(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1) AS cs
+      FROM r2
+    ),
+    c2 AS (
+      SELECT url, table_idx, row_idx, k - 1 AS col_idx, cs[k] AS cl
+      FROM c1, UNNEST(generate_series(1, len(cs))) AS c(k)
+    )
+    SELECT url, CAST(table_idx AS BIGINT) AS table_idx,
+           CAST(row_idx AS BIGINT) AS row_idx,
+           CAST(col_idx AS BIGINT) AS col_idx,
+           trim(regexp_replace(regexp_replace(cl, '<[^>]*>', '', 'g'),
+                               '\\s+', ' ', 'g')) AS cell_text
+    FROM c2 ORDER BY url, table_idx, row_idx, col_idx
+    """,
+)
+def q82(spark, sf_dir):
+    """HTML table extraction (operators/html_meta.py extract_tables):
+    every <table> becomes (url, table_idx, row_idx, col_idx, cell_text)
+    rows — the structured-data sidecar channel next to prose extraction.
+    Three lazy-quantifier regex passes (tables → rows → cells, RE2/Java
+    common subset), cell text tag-stripped + whitespace-collapsed; three
+    map-side posexplode levels, ZERO shuffle. Fixture mixes th/td,
+    nested formatting tags, padded whitespace and a second table on
+    every 4th page; the oracle replays the identical patterns."""
+    from py_image_toolkit_spark.operators.html_meta import extract_tables
+
+    return extract_tables(_table_pages(spark, sf_dir)).orderBy(
+        "url", "table_idx", "row_idx", "col_idx"
+    )

@@ -65,3 +65,63 @@ def extract_meta(
             F.lower(robots).rlike("(^|[, ])noindex([, ]|$)"), F.lit(False)
         ).alias("noindex"),
     ).drop(html_col)
+
+
+TABLE_RE = r"(?is)<table[^>]*>(.*?)</table>"
+TR_RE = r"(?is)<tr[^>]*>(.*?)</tr>"
+CELL_RE = r"(?is)<t[dh][^>]*>(.*?)</t[dh]>"
+
+
+def extract_tables(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Structured-data mining: every ``<table>`` in the raw HTML becomes
+    (url, table_idx, row_idx, col_idx, cell_text) rows — the tabular
+    sidecar a trafilatura-class extractor emits next to main content
+    (tables carry a disproportionate share of a page's factual data and
+    are usually EXCLUDED from the prose stream, so they need their own
+    channel).
+
+    Same regex-over-bytes stance as extract_meta: three lazy-quantifier
+    passes (tables → rows → cells, all in the Java/RE2 common subset with
+    ``(?is)``), cell text tag-stripped and whitespace-collapsed. Markup
+    that deviates yields fewer cells, never an error.
+
+    Scale posture (10^12 pages): three map-side ``posexplode`` levels,
+    zero shuffle — indices are per-parent positions, so the output is
+    deterministic without any ordering pass.
+    """
+    html_text = F.col(html_col).cast("string")
+    tables = pages.select(
+        F.col(url_col),
+        F.posexplode(
+            F.regexp_extract_all(html_text, F.lit(TABLE_RE), 1)
+        ).alias("table_idx", "_t"),
+    )
+    rows = tables.select(
+        url_col,
+        "table_idx",
+        F.posexplode(
+            F.regexp_extract_all(F.col("_t"), F.lit(TR_RE), 1)
+        ).alias("row_idx", "_r"),
+    )
+    cells = rows.select(
+        url_col,
+        "table_idx",
+        "row_idx",
+        F.posexplode(
+            F.regexp_extract_all(F.col("_r"), F.lit(CELL_RE), 1)
+        ).alias("col_idx", "_c"),
+    )
+    text = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("_c"), r"<[^>]*>", ""), r"\s+", " "
+        )
+    )
+    return cells.select(
+        url_col,
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.col("col_idx").cast("long").alias("col_idx"),
+        text.alias("cell_text"),
+    )

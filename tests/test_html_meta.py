@@ -71,3 +71,40 @@ def test_extract_meta_adds_no_shuffle(spark):
         extract_meta(_pages(spark, [(1, "https://a.example/1", "x")]))
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# HTML table extraction (q82)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_tables_shapes_and_cleaning(spark):
+    from py_image_toolkit_spark.operators.html_meta import extract_tables
+
+    html = (
+        "<p>prose</p>"
+        "<table><tr><th>H1</th><th>H2</th></tr>"
+        "<tr><td><b>bold</b> text</td><td>  spaced\n out  </td></tr></table>"
+        "<TABLE id='x'><TR><TD>upper</TD></TR></TABLE>"
+    ).encode()
+    df = spark.createDataFrame([("u1", html)], "url string, html binary")
+    out = extract_tables(df).collect()
+    cells = {(r.table_idx, r.row_idx, r.col_idx): r.cell_text for r in out}
+    assert cells[(0, 0, 0)] == "H1" and cells[(0, 0, 1)] == "H2"
+    # nested tags stripped, whitespace collapsed
+    assert cells[(0, 1, 0)] == "bold text"
+    assert cells[(0, 1, 1)] == "spaced out"
+    # case-insensitive tag matching finds the second table
+    assert cells[(1, 0, 0)] == "upper"
+    assert len(cells) == 5
+
+
+def test_extract_tables_tableless_page_yields_nothing(spark):
+    from py_image_toolkit_spark.operators.html_meta import extract_tables
+
+    df = spark.createDataFrame(
+        [("u1", b"<p>no tables here</p>"), ("u2", b"<table><tr>broken")],
+        "url string, html binary",
+    )
+    # no <table> -> no rows; an unclosed table never matches the lazy regex
+    assert extract_tables(df).count() == 0
