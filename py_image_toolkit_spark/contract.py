@@ -4421,3 +4421,176 @@ def q82(spark, sf_dir):
     return extract_tables(_table_pages(spark, sf_dir)).orderBy(
         "url", "table_idx", "row_idx", "col_idx"
     )
+
+
+_HEADING_PAGES_SQL = """
+    heading_pages AS (
+      SELECT 'https://hd.example/' || CAST(doc_id AS VARCHAR) AS url,
+             '<html><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+             || '<p>' || text || '</p>'
+             || CASE WHEN doc_id % 3 = 0
+                     THEN '<h2> Section <em>' || lang || '</em> </h2><p>x</p>'
+                     ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN '<H3 class="s">Deep</H3>' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN '<h2>bad</h3>' ELSE '' END
+             || '</body></html>' AS html
+      FROM documents
+    )
+"""
+
+
+def _heading_pages(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("<h2> Section <em>"), F.col("lang"), F.lit("</em> </h2><p>x</p>")),
+        ).otherwise(""),
+        F.when(F.col("doc_id") % 5 == 0, '<H3 class="s">Deep</H3>').otherwise(""),
+        F.when(F.col("doc_id") % 7 == 0, "<h2>bad</h3>").otherwise(""),
+        F.lit("</body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("https://hd.example/"), F.col("doc_id").cast("string")).alias("url"),
+        html.alias("html"),
+    )
+
+
+@register(
+    "q83_extract_headings",
+    f"""
+    WITH {_HEADING_PAGES_SQL},
+    m1 AS (
+      SELECT url,
+             regexp_extract_all(html, '(?is)<h([1-6])[^>]*>(.*?)</h([1-6])>', 0) AS hs
+      FROM heading_pages
+    ),
+    m2 AS (
+      SELECT url, i - 1 AS heading_idx, hs[i] AS h
+      FROM m1, UNNEST(generate_series(1, len(hs))) AS a(i)
+    ),
+    lv AS (
+      SELECT url, heading_idx,
+             regexp_extract(h, '(?is)^<h([1-6])', 1) AS open_lvl,
+             regexp_extract(h, '(?is)</h([1-6])>$', 1) AS close_lvl,
+             regexp_extract(h, '(?is)<h([1-6])[^>]*>(.*?)</h([1-6])>', 2) AS body
+      FROM m2
+    )
+    SELECT url, CAST(heading_idx AS BIGINT) AS heading_idx,
+           CAST(open_lvl AS BIGINT) AS level,
+           trim(regexp_replace(regexp_replace(body, '<[^>]*>', '', 'g'),
+                               '\\s+', ' ', 'g')) AS heading_text
+    FROM lv WHERE open_lvl = close_lvl
+    ORDER BY url, heading_idx
+    """,
+)
+def q83(spark, sf_dir):
+    """Heading-outline extraction (operators/html_meta.py
+    extract_headings): the document skeleton for chunk titling and
+    structure-aware quality signals. Open and close levels are CAPTURED
+    and compared (RE2 has no backreferences — the pattern stays in the
+    engine/oracle common subset), so the fixture's mismatched <h2>…</h3>
+    pair drops; mixed-case tags, nested inline markup and padded
+    whitespace are exercised. One map-side posexplode, zero shuffle."""
+    from py_image_toolkit_spark.operators.html_meta import extract_headings
+
+    return extract_headings(_heading_pages(spark, sf_dir)).orderBy(
+        "url", "heading_idx"
+    )
+
+
+def _delay_robots_df(spark):
+    """Robots bodies for q84: even-K hosts publish robots — K%6==0 a '*'
+    group with NO Crawl-delay (default applies), K%4==0 the '*' group
+    LAST (capture-to-end path), otherwise decoy agent groups on BOTH
+    sides of '*' (lazy capture path) — each decoy carries a Crawl-delay
+    that must NOT leak. Odd hosts publish nothing."""
+    k = F.col("id")
+    body = (
+        F.when(k % 6 == 0, F.lit("User-agent: *\nDisallow: /x\n"))
+        .when(
+            k % 4 == 0,
+            F.concat(
+                F.lit("User-agent: evilbot\nCrawl-delay: 99\nUser-agent: *\nCrawl-delay: "),
+                (k / 2 + 1).cast("long").cast("string"),
+                F.lit("\n"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("User-agent: evilbot\nCrawl-delay: 99\nUser-agent: *\nDisallow: /x\nCrawl-delay: "),
+                (k / 2 + 1).cast("long").cast("string"),
+                F.lit("\nUser-agent: other\nCrawl-delay: 77\n"),
+            )
+        )
+    )
+    return (
+        spark.range(0, 40, 2)
+        .select(
+            F.concat(F.lit("host-"), k.cast("string"), F.lit(".example")).alias("host"),
+            body.alias("robots_txt"),
+        )
+    )
+
+
+@register(
+    "q84_politeness_schedule",
+    f"""
+    WITH {_URLS_SQL},
+    hosted AS (
+      SELECT doc_id, lower(regexp_replace(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$', ''))
+               AS host
+      FROM urls
+    ),
+    ranked AS (
+      SELECT doc_id, host,
+             ROW_NUMBER() OVER (PARTITION BY host
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS host_rank
+      FROM hosted
+    ),
+    with_k AS (
+      SELECT doc_id, host, host_rank,
+             CAST(regexp_extract(host, '^host-([0-9]+)', 1) AS BIGINT) AS k
+      FROM ranked
+    )
+    SELECT doc_id, host, CAST(host_rank AS BIGINT) AS host_rank,
+           CAST(CASE WHEN k % 2 = 1 THEN 1
+                     WHEN k % 6 = 0 THEN 1
+                     ELSE k // 2 + 1 END AS BIGINT) AS crawl_delay_s,
+           CAST((host_rank - 1) * (CASE WHEN k % 2 = 1 THEN 1
+                                        WHEN k % 6 = 0 THEN 1
+                                        ELSE k // 2 + 1 END) AS BIGINT)
+             AS fetch_offset_s
+    FROM with_k ORDER BY doc_id
+    """,
+)
+def q84(spark, sf_dir):
+    """Crawl politeness scheduling (operators/web.py crawl_delays +
+    politeness_schedule): per-host Crawl-delay parsed from the '*' robots
+    group — isolated without lookahead (RE2 constraint), decoy agent
+    groups on either side must not leak, delay-less groups and
+    robots-less hosts default — then the k-th URL of each host fetches at
+    (k−1)·delay seconds. The oracle predicts every delay from host-number
+    arithmetic, so group scoping and both capture paths are load-bearing.
+    One host equijoin against a broadcast hosts-sized delay table; the
+    rank reuses host_cap's two-phase skew-sharded machinery."""
+    from py_image_toolkit_spark.operators.web import (
+        crawl_delays,
+        host_cap,
+        politeness_schedule,
+    )
+
+    ranked = host_cap(_urls_df(spark, sf_dir), cap=10**6).select(
+        "doc_id", "host", "host_rank"
+    )
+    return politeness_schedule(ranked, crawl_delays(_delay_robots_df(spark))).select(
+        "doc_id", "host", "host_rank", "crawl_delay_s", "fetch_offset_s"
+    ).orderBy("doc_id")

@@ -125,3 +125,44 @@ def extract_tables(
         F.col("col_idx").cast("long").alias("col_idx"),
         text.alias("cell_text"),
     )
+
+
+HEADING_RE = r"(?is)<h([1-6])[^>]*>(.*?)</h([1-6])>"
+
+
+def extract_headings(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Document outline mining: every <h1>-<h6> in order becomes
+    (url, heading_idx, level, heading_text) — the skeleton used for
+    chunk titling (prepend the governing heading to each chunk), quality
+    signals (no-outline pages are usually boilerplate), and
+    section-aware dedup.
+
+    Both the opening and closing levels are CAPTURED (RE2 has no
+    backreferences, and the oracle replays these patterns in RE2) and
+    compared after the match, so a mismatched ``<h2>…</h3>`` pair is
+    dropped rather than mis-leveled. ``heading_idx`` is the position in
+    the candidate-match stream, so it is deterministic without any
+    ordering pass; tag-strip + whitespace-collapse like extract_tables.
+    One map-side posexplode, zero shuffle.
+    """
+    html_text = F.col(html_col).cast("string")
+    hs = pages.select(
+        F.col(url_col),
+        F.posexplode(
+            F.regexp_extract_all(html_text, F.lit(HEADING_RE), 0)
+        ).alias("heading_idx", "_h"),
+    )
+    open_lvl = F.regexp_extract(F.col("_h"), r"(?is)^<h([1-6])", 1)
+    close_lvl = F.regexp_extract(F.col("_h"), r"(?is)</h([1-6])>$", 1)
+    body = F.regexp_extract(F.col("_h"), HEADING_RE, 2)
+    text = F.trim(
+        F.regexp_replace(F.regexp_replace(body, r"<[^>]*>", ""), r"\s+", " ")
+    )
+    return hs.filter(open_lvl == close_lvl).select(
+        url_col,
+        F.col("heading_idx").cast("long").alias("heading_idx"),
+        open_lvl.cast("long").alias("level"),
+        text.alias("heading_text"),
+    )

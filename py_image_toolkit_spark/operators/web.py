@@ -380,3 +380,61 @@ def crawl_frontier(
     return host_cap(kept, per_host_budget, url_col="url", id_col="url").select(
         "url", "host", "host_rank"
     )
+
+
+def crawl_delays(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+    default_s: int = 1,
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` for the ``*`` agent group. The group's
+    section is isolated WITHOUT lookahead (RE2 — the oracle's engine —
+    has none): lazily capture up to the next ``User-agent:`` and fall
+    back to capture-to-end when the ``*`` group is last; then read its
+    ``Crawl-delay: N`` line, else ``default_s``. Same parse stance as
+    robots_rules: no-robots hosts and delay-less groups get the default,
+    never an error."""
+    txt = F.col(txt_col)
+    upto_next = F.regexp_extract(
+        txt, r"(?is)User-agent:[ \t]*\*(.*?)User-agent:", 1
+    )
+    to_end = F.regexp_extract(txt, r"(?is)User-agent:[ \t]*\*(.*)$", 1)
+    sect = F.when(upto_next != "", upto_next).otherwise(to_end)
+    delay = F.regexp_extract(sect, r"(?i)Crawl-delay:[ \t]*([0-9]+)", 1)
+    return robots.select(
+        F.col(host_col),
+        F.when(delay != "", delay.cast("long"))
+        .otherwise(F.lit(default_s))
+        .cast("long")
+        .alias("crawl_delay_s"),
+    )
+
+
+def politeness_schedule(
+    ranked: DataFrame,
+    delays: DataFrame,
+    host_col: str = "host",
+    rank_col: str = "host_rank",
+    default_s: int = 1,
+) -> DataFrame:
+    """Turn per-host fetch ranks into fetch times: the k-th URL of a host
+    fetches at ``(k−1) · crawl_delay_s`` seconds into the crawl round —
+    the politeness math every fetcher fleet runs. Input is any table
+    carrying (host, host_rank) — host_cap / crawl_frontier output; hosts
+    without a delay row use the default.
+
+    Scale posture: one host-keyed equijoin against a hosts-sized delay
+    table (broadcast) + pure Column arithmetic; the rank already exists,
+    so no new window over the frontier."""
+    return (
+        ranked.join(F.broadcast(delays), host_col, "left")
+        .withColumn(
+            "crawl_delay_s",
+            F.coalesce(F.col("crawl_delay_s"), F.lit(default_s)).cast("long"),
+        )
+        .withColumn(
+            "fetch_offset_s",
+            ((F.col(rank_col) - 1) * F.col("crawl_delay_s")).cast("long"),
+        )
+    )

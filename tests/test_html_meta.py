@@ -108,3 +108,20 @@ def test_extract_tables_tableless_page_yields_nothing(spark):
     )
     # no <table> -> no rows; an unclosed table never matches the lazy regex
     assert extract_tables(df).count() == 0
+
+
+def test_extract_headings_levels_order_and_mismatch_drop(spark):
+    from py_image_toolkit_spark.operators.html_meta import extract_headings
+
+    html = (
+        "<h1>Top</h1><p>x</p><h2> Sub <em>one</em> </h2>"
+        "<h2>bad</h3>"            # mismatched pair -> dropped
+        "<H3>deep</H3>"           # mixed case
+    ).encode()
+    df = spark.createDataFrame([("u", html)], "url string, html binary")
+    out = sorted(extract_headings(df).collect(), key=lambda r: r.heading_idx)
+    assert [(r.level, r.heading_text) for r in out] == [
+        (1, "Top"), (2, "Sub one"), (3, "deep"),
+    ]
+    # idx order follows document position even with the dropped candidate
+    assert [r.heading_idx for r in out] == [0, 1, 3]

@@ -360,3 +360,39 @@ def test_crawl_frontier_budget_caps_per_host(spark):
         pages, crawled=pages.select("url"), per_host_budget=3
     ).collect()
     assert sorted(r.url for r in out) == sorted(r.url for r in again)
+
+
+def test_crawl_delays_group_scoping_and_defaults(spark):
+    from py_image_toolkit_spark.operators.web import crawl_delays
+
+    rows = [
+        # '*' in the middle; decoys on both sides must not leak
+        ("a.example", "User-agent: bad\nCrawl-delay: 99\nUser-agent: *\nCrawl-delay: 5\nUser-agent: o\nCrawl-delay: 77\n"),
+        # '*' group last (capture-to-end path)
+        ("b.example", "User-agent: bad\nCrawl-delay: 99\nUser-agent: *\nCrawl-delay: 7\n"),
+        # '*' group without a delay -> default
+        ("c.example", "User-agent: *\nDisallow: /x\n"),
+        # no '*' group at all -> default
+        ("d.example", "User-agent: onlybot\nCrawl-delay: 42\n"),
+    ]
+    df = spark.createDataFrame(rows, "host string, robots_txt string")
+    out = {r.host: r.crawl_delay_s for r in crawl_delays(df).collect()}
+    assert out == {"a.example": 5, "b.example": 7, "c.example": 1, "d.example": 1}
+
+
+def test_politeness_schedule_spaces_fetches(spark):
+    from py_image_toolkit_spark.operators.web import crawl_delays, politeness_schedule
+
+    ranked = spark.createDataFrame(
+        [(1, "a.example", 1), (2, "a.example", 2), (3, "a.example", 3), (4, "z.example", 2)],
+        "doc_id long, host string, host_rank long",
+    )
+    delays = crawl_delays(
+        spark.createDataFrame(
+            [("a.example", "User-agent: *\nCrawl-delay: 10\n")],
+            "host string, robots_txt string",
+        )
+    )
+    out = {r.doc_id: r.fetch_offset_s for r in politeness_schedule(ranked, delays).collect()}
+    # 10s spacing on a.example; z.example (no robots) defaults to 1s spacing
+    assert out == {1: 0, 2: 10, 3: 20, 4: 1}
