@@ -4594,3 +4594,104 @@ def q84(spark, sf_dir):
     return politeness_schedule(ranked, crawl_delays(_delay_robots_df(spark))).select(
         "doc_id", "host", "host_rank", "crawl_delay_s", "fetch_offset_s"
     ).orderBy("doc_id")
+
+
+_SITEMAP_SQL = """
+    sitemaps AS (
+      SELECT 'sm-' || CAST(doc_id AS VARCHAR) || '.example' AS host,
+             '<?xml version="1.0"?><urlset>'
+             || '<url><loc> https://' || source || '.example.com/doc/'
+             || CAST(doc_id AS VARCHAR) || ' </loc>'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN '<lastmod>2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                          || '-01</lastmod>'
+                     ELSE '' END
+             || '</url>'
+             || '<url><loc>https://' || source || '.example.com/alt/'
+             || CAST(doc_id AS VARCHAR) || '</loc></url>'
+             || CASE WHEN doc_id % 6 = 0
+                     THEN '<sitemap><loc>https://' || source
+                          || '.example.com/sitemap-' || CAST(doc_id AS VARCHAR)
+                          || '.xml</loc><lastmod>2024-01-02</lastmod></sitemap>'
+                     ELSE '' END
+             || '</urlset>' AS sitemap_xml
+      FROM documents
+    )
+"""
+
+
+def _sitemap_df(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> https://'),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        did,
+        F.lit(" </loc>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("<lastmod>2024-0"), (F.col("doc_id") % 9 + 1).cast("string"), F.lit("-01</lastmod>")),
+        ).otherwise(""),
+        F.lit("</url><url><loc>https://"),
+        F.col("source"),
+        F.lit(".example.com/alt/"),
+        did,
+        F.lit("</loc></url>"),
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit("<sitemap><loc>https://"),
+                F.col("source"),
+                F.lit(".example.com/sitemap-"),
+                did,
+                F.lit(".xml</loc><lastmod>2024-01-02</lastmod></sitemap>"),
+            ),
+        ).otherwise(""),
+        F.lit("</urlset>"),
+    )
+    return d.select(
+        F.concat(F.lit("sm-"), did, F.lit(".example")).alias("host"),
+        xml.alias("sitemap_xml"),
+    )
+
+
+@register(
+    "q85_sitemap_entries",
+    f"""
+    WITH {_SITEMAP_SQL},
+    b AS (
+      SELECT host,
+             list_concat(
+               regexp_extract_all(sitemap_xml, '(?is)(<url>.*?</url>)', 1),
+               regexp_extract_all(sitemap_xml, '(?is)(<sitemap>.*?</sitemap>)', 1)
+             ) AS blocks
+      FROM sitemaps
+    ),
+    e AS (
+      SELECT host, i - 1 AS entry_idx, blocks[i] AS blk
+      FROM b, UNNEST(generate_series(1, len(blocks))) AS t(i)
+    )
+    SELECT host, CAST(entry_idx AS BIGINT) AS entry_idx,
+           regexp_extract(blk, '(?is)<loc>\\s*(.*?)\\s*</loc>', 1) AS loc,
+           CASE WHEN regexp_extract(blk, '(?is)<lastmod>\\s*(.*?)\\s*</lastmod>', 1) <> ''
+                THEN regexp_extract(blk, '(?is)<lastmod>\\s*(.*?)\\s*</lastmod>', 1)
+           END AS lastmod,
+           blk LIKE '<sitemap>%' AS is_index
+    FROM e
+    WHERE regexp_extract(blk, '(?is)<loc>\\s*(.*?)\\s*</loc>', 1) <> ''
+    ORDER BY host, entry_idx
+    """,
+)
+def q85(spark, sf_dir):
+    """Sitemap URL discovery (operators/web.py sitemap_entries): the
+    crawler's second frontier source — <url> entries with optional
+    lastmod (kept as W3C-datetime strings; schedulers compare them
+    lexicographically) and <sitemap> index entries flagged for another
+    parse round. Regex-over-bytes in the RE2/Java common subset,
+    whitespace-padded <loc> trimmed by the pattern; one map-side
+    posexplode, zero shuffle. The oracle rebuilds entry order from the
+    same two-block concatenation."""
+    from py_image_toolkit_spark.operators.web import sitemap_entries
+
+    return sitemap_entries(_sitemap_df(spark, sf_dir)).orderBy("host", "entry_idx")

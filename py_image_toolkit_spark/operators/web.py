@@ -438,3 +438,45 @@ def politeness_schedule(
             ((F.col(rank_col) - 1) * F.col("crawl_delay_s")).cast("long"),
         )
     )
+
+
+def sitemap_entries(
+    sitemaps: DataFrame, host_col: str = "host", xml_col: str = "sitemap_xml"
+) -> DataFrame:
+    """URL discovery from sitemap.xml bodies — the crawler's OTHER
+    frontier source besides outlinks: ``<url>`` entries yield
+    (url, lastmod); ``<sitemap>`` index entries yield nested sitemap
+    locations flagged ``is_index`` (a production fetcher enqueues those
+    for another parse round). Same regex-over-bytes stance as the HTML
+    miners — lazy block captures then per-field extracts, all in the
+    Java/RE2 common subset; missing <lastmod> is NULL, malformed blocks
+    yield no entry, never an error.
+
+    Output: host, entry_idx (position across both entry kinds), loc,
+    lastmod, is_index.
+
+    Scale posture (10^8 sitemaps): one map-side posexplode per body,
+    zero shuffle; lastmod strings stay strings (crawl schedulers compare
+    W3C datetime lexicographically — no timestamp parse needed).
+    """
+    xml = F.col(xml_col)
+    blocks = F.concat(
+        F.regexp_extract_all(xml, F.lit(r"(?is)(<url>.*?</url>)"), 1),
+        F.regexp_extract_all(xml, F.lit(r"(?is)(<sitemap>.*?</sitemap>)"), 1),
+    )
+    e = sitemaps.select(
+        F.col(host_col),
+        F.posexplode(blocks).alias("entry_idx", "_b"),
+    )
+    loc = F.regexp_extract(F.col("_b"), r"(?is)<loc>\s*(.*?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(F.col("_b"), r"(?is)<lastmod>\s*(.*?)\s*</lastmod>", 1)
+    return (
+        e.select(
+            host_col,
+            F.col("entry_idx").cast("long").alias("entry_idx"),
+            loc.alias("loc"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+            F.col("_b").startswith("<sitemap>").alias("is_index"),
+        )
+        .filter(F.col("loc") != "")
+    )

@@ -396,3 +396,23 @@ def test_politeness_schedule_spaces_fetches(spark):
     out = {r.doc_id: r.fetch_offset_s for r in politeness_schedule(ranked, delays).collect()}
     # 10s spacing on a.example; z.example (no robots) defaults to 1s spacing
     assert out == {1: 0, 2: 10, 3: 20, 4: 1}
+
+
+def test_sitemap_entries_urls_index_and_lastmod(spark):
+    from py_image_toolkit_spark.operators.web import sitemap_entries
+
+    xml = (
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc> https://a.example/p1 </loc><lastmod>2024-03-01</lastmod></url>"
+        "<url><loc>https://a.example/p2</loc></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"  # no loc -> dropped
+        "<sitemap><loc>https://a.example/more.xml</loc></sitemap>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([("a.example", xml)], "host string, sitemap_xml string")
+    out = sorted(sitemap_entries(df).collect(), key=lambda r: r.entry_idx)
+    assert [(r.loc, r.lastmod, r.is_index) for r in out] == [
+        ("https://a.example/p1", "2024-03-01", False),
+        ("https://a.example/p2", None, False),
+        ("https://a.example/more.xml", None, True),
+    ]
