@@ -4695,3 +4695,67 @@ def q85(spark, sf_dir):
     from py_image_toolkit_spark.operators.web import sitemap_entries
 
     return sitemap_entries(_sitemap_df(spark, sf_dir)).orderBy("host", "entry_idx")
+
+
+ORACLE_SQL["q86_source_health"] = f"""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id + 60000 AS doc_id, text, 'mirror' AS source
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    base AS (
+      SELECT doc_id, source,
+        CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+          AS BIGINT) AS n_tokens,
+        CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+          AS BIGINT) AS n_punct,
+        CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[0-9]', '', 'g'))
+          AS BIGINT) AS n_digits,
+        CAST(len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+             x -> x IN ({', '.join(repr(w) for w in T.EN_STOPWORDS)})))
+          AS BIGINT) AS n_stopwords,
+        md5(text) AS h
+      FROM corpus
+    ),
+    scored AS (
+      SELECT doc_id, source, n_tokens, h,
+        CAST(LEAST(n_chars, 500) * 1000
+             + CAST(FLOOR(n_stopwords * 1000000.0 / GREATEST(n_tokens, 1) + 0.5) AS BIGINT)
+             - CAST(FLOOR(n_punct * 1000000.0 / GREATEST(n_chars, 1) + 0.5) AS BIGINT)
+             - n_digits * 100 AS BIGINT) AS quality_score
+      FROM base
+    ),
+    canon AS (SELECT h, MIN(doc_id) AS first_id FROM scored GROUP BY h)
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN s.doc_id <> c.first_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_docs,
+           CAST(SUM(CASE WHEN s.n_tokens < 15 THEN 1 ELSE 0 END) AS BIGINT)
+             AS short_docs,
+           CAST(SUM(s.quality_score) // COUNT(*) AS BIGINT) AS mean_quality_micro
+    FROM scored s JOIN canon c ON s.h = c.h
+    GROUP BY s.source ORDER BY s.source
+    """
+
+
+@register("q86_source_health", ORACLE_SQL["q86_source_health"])
+def q86(spark, sf_dir):
+    """Per-source corpus health rollup (operators/corpus.py
+    source_health): volume, cross-source duplication pressure (the
+    fixture adds a 'mirror' feed re-serving every 10th doc — its rows
+    read 100% dup while the original feeds stay clean), short-doc share
+    and integer-exact mean quality. Hash groupBy + id equijoin for dup
+    detection, then one source-keyed groupBy of algebraic aggregates."""
+    from py_image_toolkit_spark.operators.corpus import source_health
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 60000).alias("doc_id"), "text",
+            F.lit("mirror").alias("source"),
+        )
+    )
+    return source_health(corpus).orderBy("source")

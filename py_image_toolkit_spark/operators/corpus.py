@@ -639,3 +639,60 @@ def budget_allocation(
             F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
         )
     )
+
+
+def source_health(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    min_tokens: int = 15,
+) -> DataFrame:
+    """Per-source corpus health rollup — the QA dashboard table a release
+    pipeline emits per ingest feed: volume, duplication pressure, short-doc
+    share and mean curation quality, all integer-exact.
+
+        n_docs, total_tokens     — volume
+        dup_docs                 — docs whose exact text also appears under
+                                   a LOWER doc id anywhere in the corpus
+                                   (cross-source: a feed that re-serves
+                                   another feed's content shows it here)
+        short_docs               — below the min_tokens floor
+        mean_quality_micro       — q25 composite, summed then DIV'd
+
+    Scale posture (100 TB): quality/token features are per-row Columns;
+    duplicate detection is one hash-keyed groupBy (min id) + id equijoin
+    back (exact_dedup's shape); the rollup is one source-keyed groupBy —
+    every aggregate algebraic/map-side-combinable.
+    """
+    from py_image_toolkit_spark.operators.text_stats import quality_score
+
+    q = quality_score(docs, id_col, text_col).select(
+        id_col, "n_tokens", "quality_score"
+    )
+    hashed = docs.select(F.col(id_col), F.col(source_col), _md5(F.col(text_col)).alias("_h"))
+    canon = hashed.groupBy("_h").agg(F.min(id_col).alias("_first"))
+    j = hashed.join(canon, "_h").join(q, id_col)
+    return (
+        j.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum((F.col(id_col) != F.col("_first")).cast("long"))
+            .cast("long")
+            .alias("dup_docs"),
+            F.sum((F.col("n_tokens") < min_tokens).cast("long"))
+            .cast("long")
+            .alias("short_docs"),
+            F.sum("quality_score").cast("long").alias("_qsum"),
+        )
+        .withColumn("mean_quality_micro", F.expr("_qsum DIV n_docs"))
+        .select(
+            source_col,
+            "n_docs",
+            "total_tokens",
+            "dup_docs",
+            "short_docs",
+            "mean_quality_micro",
+        )
+    )

@@ -290,3 +290,24 @@ def test_budget_allocation_invariants(spark):
     out2 = {r.source: r for r in budget_allocation(docs, 800, weights).collect()}
     for s in ("big", "small"):
         assert out2[s].kept_docs >= out[s].kept_docs
+
+
+def test_source_health_cross_source_duplication(spark):
+    from py_image_toolkit_spark.operators.corpus import source_health
+
+    docs = spark.createDataFrame(
+        [
+            (1, "original content one with plenty of words to pass the minimum token floor here right now", "feed_a"),
+            (2, "original content two with plenty of words to pass the minimum token floor here right now", "feed_a"),
+            # mirror re-serves doc 1's exact text under a higher id
+            (3, "original content one with plenty of words to pass the minimum token floor here right now", "mirror"),
+            (4, "tiny", "mirror"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in source_health(docs).collect()}
+    # the ORIGINAL feed is clean; the mirror carries the duplication
+    assert out["feed_a"].dup_docs == 0 and out["feed_a"].n_docs == 2
+    assert out["mirror"].dup_docs == 1
+    assert out["mirror"].short_docs == 1
+    assert out["feed_a"].short_docs == 0
