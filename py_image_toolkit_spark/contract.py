@@ -4759,3 +4759,77 @@ def q86(spark, sf_dir):
         )
     )
     return source_health(corpus).orderBy("source")
+
+
+def _elig_pages(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 20).cast("string")
+    html = F.concat(
+        F.lit('<html><head><meta name="robots" content="'),
+        F.when(F.col("doc_id") % 9 == 0, "noindex, nofollow").otherwise("index, follow"),
+        F.lit('"><title>t</title></head><body>'),
+        F.col("text"),
+        F.lit("</body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("https://g-"), k, F.lit(".example/a/"), did).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+
+
+def _elig_robots(spark):
+    # every 4th host disallows the whole /a/ prefix for all agents
+    k = F.col("id")
+    return spark.range(0, 20, 4).select(
+        F.concat(F.lit("g-"), k.cast("string"), F.lit(".example")).alias("host"),
+        F.lit("User-agent: *\nDisallow: /a/\n").alias("robots_txt"),
+    )
+
+
+@register(
+    "q87_training_eligibility",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             'https://g-' || CAST(doc_id % 20 AS VARCHAR) || '.example/a/'
+               || CAST(doc_id AS VARCHAR) AS url,
+             doc_id % 20 AS k
+      FROM documents
+    )
+    SELECT url,
+           'g-' || CAST(k AS VARCHAR) || '.example' AS host,
+           CASE WHEN k = 7 THEN NULL
+                WHEN doc_id % 10 = 3 THEN NULL
+                WHEN k % 4 = 0 THEN NULL
+                WHEN doc_id % 9 = 0 THEN NULL
+                ELSE TRUE END IS NOT NULL AS eligible,
+           CASE WHEN k = 7 THEN 'blocked_host'
+                WHEN doc_id % 10 = 3 THEN 'blocked_pattern'
+                WHEN k % 4 = 0 THEN 'robots_disallow'
+                WHEN doc_id % 9 = 0 THEN 'meta_noindex'
+           END AS reason
+    FROM pages ORDER BY url
+    """,
+)
+def q87(spark, sf_dir):
+    """Post-fetch training-eligibility verdict (operators/web.py
+    training_eligibility): blocklist (host g-7, pattern …/a/N ending in
+    3) → robots Disallow /a/ on every 4th host → in-document meta
+    noindex (every 9th doc), first failing gate wins. The oracle
+    predicts every verdict purely from (host, doc_id) arithmetic — so
+    the meta regex, robots longest-match and gate precedence are all
+    load-bearing. Composition of url_filter ∘ robots_gate ∘
+    extract_meta: html never shuffles, blocklists are plan literals,
+    robots fan out by host equijoin."""
+    from py_image_toolkit_spark.operators.web import (
+        robots_rules,
+        training_eligibility,
+    )
+
+    return training_eligibility(
+        _elig_pages(spark, sf_dir),
+        robots=robots_rules(_elig_robots(spark)),
+        blocked_hosts=("g-7.example",),
+        blocked_url_patterns=(r"^https://g-[0-9]+\.example/a/[0-9]*3$",),
+    ).orderBy("url")

@@ -480,3 +480,58 @@ def sitemap_entries(
         )
         .filter(F.col("loc") != "")
     )
+
+
+def training_eligibility(
+    pages: DataFrame,
+    robots: DataFrame | None = None,
+    blocked_hosts: tuple[str, ...] = (),
+    blocked_url_patterns: tuple[str, ...] = (),
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Post-fetch compliance verdict: may this PAGE enter a training
+    corpus? The crawl-side gates (q61 blocklist, q69 robots) say what to
+    FETCH; this operator re-checks the fetched page itself, adding the
+    in-document signal — a robots meta ``noindex`` — that is only
+    visible after fetching. First failing gate wins:
+
+        blocked_host / blocked_pattern  — operator blocklists
+        robots_disallow                 — the host's robots rules (the
+                                          page was fetched anyway — e.g.
+                                          rules changed since fetch)
+        meta_noindex                    — in-document opt-out
+
+    Output: url, host, eligible (bool), reason (NULL when eligible) —
+    verdict rows for lineage, like every gate in this module.
+
+    Scale posture (10^12 pages): the meta probe is one map-side codegen
+    regexp (html never shuffles), the blocklist folds into the plan as
+    literals, robots fan out by host equijoin. One pass, no new
+    machinery — url_filter ∘ robots_gate ∘ extract_meta composed.
+    """
+    from py_image_toolkit_spark.operators.html_meta import extract_meta
+
+    meta = extract_meta(pages, url_col, html_col).select(url_col, "noindex")
+    gated = url_filter(
+        pages.select(url_col), blocked_hosts, blocked_url_patterns, url_col
+    ).select(url_col, "host", F.col("verdict").alias("_block"))
+    if robots is not None:
+        rg = robots_gate(pages.select(url_col), robots, url_col).select(
+            url_col, F.col("allowed").alias("_allowed")
+        )
+        gated = gated.join(rg, url_col)
+    else:
+        gated = gated.withColumn("_allowed", F.lit(True))
+    j = gated.join(meta, url_col)
+    reason = (
+        F.when(F.col("_block") != "kept", F.col("_block"))
+        .when(~F.col("_allowed"), F.lit("robots_disallow"))
+        .when(F.col("noindex"), F.lit("meta_noindex"))
+    )
+    return j.select(
+        url_col,
+        "host",
+        reason.isNull().alias("eligible"),
+        reason.alias("reason"),
+    )

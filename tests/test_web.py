@@ -416,3 +416,34 @@ def test_sitemap_entries_urls_index_and_lastmod(spark):
         ("https://a.example/p2", None, False),
         ("https://a.example/more.xml", None, True),
     ]
+
+
+def test_training_eligibility_gate_precedence(spark):
+    from py_image_toolkit_spark.operators.web import robots_rules, training_eligibility
+
+    def page(url, noindex=False):
+        robots = "noindex" if noindex else "index"
+        return (url, f'<html><head><meta name="robots" content="{robots}"></head></html>'.encode())
+
+    pages = spark.createDataFrame(
+        [
+            page("https://ok.example/p"),
+            page("https://bad.example/p", noindex=True),   # host-blocked wins over noindex
+            page("https://ok.example/private/x"),           # robots disallow
+            page("https://ok.example/q", noindex=True),     # meta noindex
+        ],
+        "url string, html binary",
+    )
+    robots = robots_rules(
+        spark.createDataFrame(
+            [("ok.example", "User-agent: *\nDisallow: /private/\n")],
+            "host string, robots_txt string",
+        )
+    )
+    out = {r.url: r for r in training_eligibility(
+        pages, robots=robots, blocked_hosts=("bad.example",)
+    ).collect()}
+    assert out["https://ok.example/p"].eligible
+    assert out["https://bad.example/p"].reason == "blocked_host"
+    assert out["https://ok.example/private/x"].reason == "robots_disallow"
+    assert out["https://ok.example/q"].reason == "meta_noindex"
