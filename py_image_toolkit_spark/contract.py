@@ -4833,3 +4833,51 @@ def q87(spark, sf_dir):
         blocked_hosts=("g-7.example",),
         blocked_url_patterns=(r"^https://g-[0-9]+\.example/a/[0-9]*3$",),
     ).orderBy("url")
+
+
+@register(
+    "q88_gap_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ) AS pus
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN pus IS NULL OR us - pus > 600 * 1000000 THEN 1 ELSE 0 END
+               AS new_s
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_id
+      FROM f
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(us) AS BIGINT) AS session_start_us,
+           CAST(MAX(us) AS BIGINT) AS session_end_us,
+           CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_s
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def q88(spark, sf_dir):
+    """Time-gap sessionization (operators/events.py sessionize_gaps): the
+    classic web session — a user's new session starts after a >10-minute
+    silence (600 s on this fixture's ~3-minute event cadence, so real
+    multi-session splits occur). All timestamp math in exact int64 epoch
+    micros (unix_micros ≡ DuckDB epoch_us — parquet's native unit), ties
+    broken by event id. One user-keyed window shuffle reused by the lag,
+    the running sum AND the session rollup; aggregates all algebraic."""
+    from py_image_toolkit_spark.operators.events import sessionize_gaps
+
+    return sessionize_gaps(
+        t(spark, sf_dir, "events"), gap_s=600
+    ).orderBy("user_id", "session_id")
