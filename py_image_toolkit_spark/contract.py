@@ -4881,3 +4881,52 @@ def q88(spark, sf_dir):
     return sessionize_gaps(
         t(spark, sf_dir, "events"), gap_s=600
     ).orderBy("user_id", "session_id")
+
+
+_CMS_PROBES = ["table", "scan", "window", "the", "zzz-absent-token", "spark", "value"]
+
+
+@register(
+    "q89_cms_frequencies",
+    f"""
+    WITH toks AS (
+      SELECT t.tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             AS t(tok)
+    ),
+    cells AS (
+      SELECT row_id AS row, col, COUNT(*) AS cnt FROM (
+        SELECT 0 AS row_id, {_bloom_bit_sql(0, 'tok', 1024)} AS col FROM toks
+        UNION ALL SELECT 1, {_bloom_bit_sql(1, 'tok', 1024)} FROM toks
+        UNION ALL SELECT 2, {_bloom_bit_sql(2, 'tok', 1024)} FROM toks
+      ) GROUP BY row_id, col
+    ),
+    probes(tok) AS (
+      VALUES {', '.join("('" + p + "')" for p in _CMS_PROBES)}
+    ),
+    pr AS (
+      SELECT tok, 0 AS row, {_bloom_bit_sql(0, 'tok', 1024)} AS col FROM probes
+      UNION ALL SELECT tok, 1, {_bloom_bit_sql(1, 'tok', 1024)} FROM probes
+      UNION ALL SELECT tok, 2, {_bloom_bit_sql(2, 'tok', 1024)} FROM probes
+    )
+    SELECT pr.tok, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+    FROM pr LEFT JOIN cells c ON pr.row = c.row AND pr.col = c.col
+    GROUP BY pr.tok ORDER BY pr.tok
+    """,
+)
+def q89(spark, sf_dir):
+    """Count-min-sketch frequency estimation (operators/dedup.py
+    cms_build + cms_estimate): the frequency analog of q81's Bloom
+    filter — token occurrences fold into a 3×1024 cell table (constant
+    in vocabulary size, one map-side-combinable groupBy), probes read
+    min-over-rows with the classic one-sided est ≥ truth guarantee.
+    Estimates are deterministic (md5-nibble probe family) so the oracle
+    hash covers collision overestimates too; the absent-token probe
+    exercises the zero path."""
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(D.tokens_array(F.col("text"))).alias("tok")
+    )
+    sketch = D.cms_build(toks, depth=3, width=1024)
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "tok string")
+    return D.cms_estimate(probes, sketch, depth=3, width=1024).orderBy("tok")

@@ -887,3 +887,68 @@ def bloom_decontaminate(
             F.expr("CAST(1000000 AS BIGINT) * flagged_grams DIV n_grams"),
         )
     )
+
+
+def cms_build(
+    items: DataFrame, item_col: str = "tok", depth: int = 3, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch of item frequencies: ``depth × width`` cells
+    (CONSTANT in item cardinality — the frequency analog of bloom_build).
+    Each occurrence increments one cell per row via the md5-nibble probe
+    family; cell counts are one (row, col)-keyed groupBy, map-side
+    combinable, so the sketch costs one bounded shuffle no matter how
+    many distinct items exist.
+
+    Output: (row, col, cnt) — at most depth·width rows.
+    """
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("row"),
+                _bloom_bit(F.col(item_col), j, width).cast("long").alias("col"),
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        items.select(F.explode(probes).alias("p"))
+        .select(F.col("p.row"), F.col("p.col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    sketch: DataFrame,
+    item_col: str = "tok",
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Frequency estimates from a count-min sketch: est(item) = min over
+    the depth rows of that item's cell counts (missing cell ⇒ 0). The
+    classic one-sided guarantee holds — est ≥ true count, with
+    overestimates bounded by collisions (property-tested).
+
+    Scale posture: the sketch is depth·width rows → broadcast; probes
+    expand ×depth map-side, join the broadcast sketch on (row, col) and
+    reduce with one item-keyed min — the item stream itself never
+    shuffles against other items.
+    """
+    parr = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("row"),
+                _bloom_bit(F.col(item_col), j, width).cast("long").alias("col"),
+            )
+            for j in range(depth)
+        ]
+    )
+    e = probes.select(F.col(item_col), F.explode(parr).alias("p")).select(
+        item_col, F.col("p.row").alias("row"), F.col("p.col").alias("col")
+    )
+    return (
+        e.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count"))
+    )

@@ -594,3 +594,28 @@ def test_bloom_filter_is_constant_size(spark):
     grams = D.shingle_df(docs, k=3).select("shingle").distinct()
     bits = D.bloom_build(grams, m_bits=256, k_hashes=3)
     assert bits.count() <= 256  # bounded by m regardless of gram count
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (q89)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_one_sided_guarantee_and_zero_path(spark):
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"w{i % 17}") for i in range(500)]  # 17 tokens, ~29 each
+    toks = spark.createDataFrame(rows, "i long, tok string").select("tok")
+    sketch = D.cms_build(toks, depth=3, width=64)
+    truth = {r.tok: r.cnt for r in toks.groupBy("tok").agg(F.count("*").alias("cnt")).collect()}
+    probes = spark.createDataFrame(
+        [(t,) for t in list(truth) + ["never-seen"]], "tok string"
+    )
+    est = {r.tok: r.est_count for r in D.cms_estimate(probes, sketch, depth=3, width=64).collect()}
+    # one-sided: estimate never undercounts; absent items may collide but
+    # real items are always >= their true frequency
+    for tok, n in truth.items():
+        assert est[tok] >= n
+    assert est["never-seen"] >= 0
+    # sketch size bounded by depth*width regardless of stream length
+    assert sketch.count() <= 3 * 64
