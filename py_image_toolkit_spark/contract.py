@@ -4930,3 +4930,51 @@ def q89(spark, sf_dir):
     sketch = D.cms_build(toks, depth=3, width=1024)
     probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "tok string")
     return D.cms_estimate(probes, sketch, depth=3, width=1024).orderBy("tok")
+
+
+@register(
+    "q90_kmv_distinct",
+    """
+    WITH toks AS (
+      SELECT t.tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             AS t(tok)
+    ),
+    hs AS (
+      SELECT DISTINCT
+        (instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 268435456
+        + (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) * 16777216
+        + (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1) * 1048576
+        + (instr('0123456789abcdef', substr(md5(tok), 4, 1)) - 1) * 65536
+        + (instr('0123456789abcdef', substr(md5(tok), 5, 1)) - 1) * 4096
+        + (instr('0123456789abcdef', substr(md5(tok), 6, 1)) - 1) * 256
+        + (instr('0123456789abcdef', substr(md5(tok), 7, 1)) - 1) * 16
+        + (instr('0123456789abcdef', substr(md5(tok), 8, 1)) - 1) AS h
+      FROM toks
+    ),
+    mins AS (SELECT h FROM hs ORDER BY h LIMIT 64),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_sketch,
+             CAST(MAX(h) AS BIGINT) AS kth_hash32
+      FROM mins
+    )
+    SELECT n_sketch, kth_hash32,
+           CAST(CASE WHEN n_sketch < 64 THEN n_sketch
+                     ELSE 63 * 4294967296 // kth_hash32 END AS BIGINT)
+             AS est_distinct
+    FROM agg
+    """,
+)
+def q90(spark, sf_dir):
+    """KMV distinct-count sketch (operators/dedup.py kmv_distinct) over
+    the corpus token stream: cardinality estimation chosen over HLL
+    because the estimate is a deterministic function of md5 order —
+    est = 63·2^32 DIV kth-smallest 32-bit hash — so the oracle hash
+    covers the estimator itself, not just plumbing. Distinct-by-hash is
+    one map-side-combinable groupBy; the k minima reduce via
+    TakeOrderedAndProject, never a global sort."""
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(D.tokens_array(F.col("text"))).alias("tok")
+    )
+    return D.kmv_distinct(toks, k=64)

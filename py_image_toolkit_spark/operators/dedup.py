@@ -952,3 +952,44 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est_count"))
     )
+
+
+def kmv_distinct(
+    items: DataFrame, item_col: str = "tok", k: int = 64
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch — the cardinality
+    member of the sketch family (Bloom: membership, CMS: frequency,
+    winnowing: similarity), chosen over HLL because its estimate is a
+    DETERMINISTIC function of md5 order and therefore oracle-hashable:
+
+        est = (k−1) · 2^32 DIV kth_smallest_hash32      (≥ k distinct)
+        est = exact distinct count                       (< k distinct)
+
+    The intuition: k uniform points in [0, 2^32) with k-th order
+    statistic h estimate density k/h ≈ n/2^32.
+
+    Scale posture (10^12 items): distinct-by-hash is one map-side-
+    combinable groupBy; the k smallest survivors reduce via
+    TakeOrderedAndProject (per-partition top-k, never a global sort of
+    the distinct set). Output one row: n_distinct_min(k, n), kth_hash32,
+    est_distinct.
+    """
+    h32 = F.conv(F.substring(_md5(F.col(item_col)), 1, 8), 16, 10).cast("long")
+    mins = (
+        items.select(h32.alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+    agg = mins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.max("h").alias("kth_hash32"),
+    )
+    est = F.when(
+        F.col("n_sketch") < k, F.col("n_sketch")
+    ).otherwise(
+        F.expr(f"CAST({k - 1} AS BIGINT) * CAST(4294967296 AS BIGINT) DIV kth_hash32")
+    )
+    return agg.select(
+        "n_sketch", "kth_hash32", est.cast("long").alias("est_distinct")
+    )

@@ -619,3 +619,19 @@ def test_cms_one_sided_guarantee_and_zero_path(spark):
     assert est["never-seen"] >= 0
     # sketch size bounded by depth*width regardless of stream length
     assert sketch.count() <= 3 * 64
+
+
+def test_kmv_distinct_exact_below_k_and_estimates_above(spark):
+    small = spark.createDataFrame([(f"t{i % 10}",) for i in range(200)], "tok string")
+    r = D.kmv_distinct(small, k=64).collect()[0]
+    # fewer than k distinct -> exact
+    assert r.n_sketch == 10 and r.est_distinct == 10
+
+    big = spark.createDataFrame([(f"u{i}",) for i in range(5000)], "tok string")
+    r2 = D.kmv_distinct(big, k=64).collect()[0]
+    assert r2.n_sketch == 64
+    # KMV with k=64 has ~12% relative std error; allow a wide band
+    assert 3000 <= r2.est_distinct <= 8000
+    # determinism
+    r3 = D.kmv_distinct(big, k=64).collect()[0]
+    assert r3.est_distinct == r2.est_distinct
