@@ -4978,3 +4978,54 @@ def q90(spark, sf_dir):
         F.explode(D.tokens_array(F.col("text"))).alias("tok")
     )
     return D.kmv_distinct(toks, k=64)
+
+
+@register(
+    "q91_weighted_sample_topk",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             CASE lang WHEN 'en' THEN 4 WHEN 'de' THEN 2
+                       WHEN 'fr' THEN 2 WHEN 'es' THEN 1 ELSE 0 END AS weight
+      FROM documents
+    ),
+    pri AS (
+      SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+             ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456
+            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216
+            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576
+            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536
+            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096
+            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256
+            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1))
+               // weight AS priority
+      FROM w WHERE weight > 0
+    )
+    SELECT doc_id, weight, CAST(priority AS BIGINT) AS priority,
+           CAST(ROW_NUMBER() OVER (ORDER BY priority, doc_id) AS BIGINT)
+             AS sample_rank
+    FROM pri ORDER BY priority, doc_id LIMIT 50
+    """,
+)
+def q91(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/corpus.py weighted_topk_sample): Efraimidis–Spirakis with
+    the md5 hash as the uniform draw — priority = hash32 DIV weight,
+    keep the 50 lowest. Weights from language tier (en 4× … zh excluded
+    at 0), so the sample over-represents the high-weight class while
+    every weighted doc keeps an auditable chance, and the whole draw
+    replays bit-identically (which the float-pow textbook form cannot
+    give a hash gate). Per-row priority + TakeOrderedAndProject — never
+    a global sort."""
+    from py_image_toolkit_spark.operators.corpus import weighted_topk_sample
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 4)
+        .when(F.col("lang").isin("de", "fr"), 2)
+        .when(F.col("lang") == "es", 1)
+        .otherwise(0)
+        .alias("weight"),
+    )
+    return weighted_topk_sample(d, "weight", k=50).orderBy("sample_rank")

@@ -696,3 +696,50 @@ def source_health(
             "mean_quality_micro",
         )
     )
+
+
+def weighted_topk_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis scheme with the md5 hash standing in for the
+    uniform draw — item priority = hash32 DIV weight, keep the k LOWEST
+    priorities. Higher weight ⇒ proportionally higher keep odds (halving
+    the divisor doubles the survival chance of a uniform key), zero
+    weight ⇒ never kept, and the whole draw replays bit-identically on
+    any engine / any rerun — the property the float-pow textbook form
+    (u^(1/w)) cannot give a cross-engine hash gate.
+
+    Output: id, weight, priority, sample_rank (1..k by priority asc,
+    id tie-break).
+
+    Scale posture (100 TB): priority is a per-row Column; the k winners
+    reduce via TakeOrderedAndProject (per-partition top-k + single
+    merge), never a global sort. The classic use: quality-weighted
+    corpus subsampling where high-quality docs should be over-represented
+    but every doc keeps a nonzero, auditable chance.
+    """
+    h32 = F.conv(
+        F.substring(_md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            h32.alias("_h"),
+        )
+        .withColumn(
+            "priority", F.expr("CASE WHEN weight > 0 THEN _h DIV weight END")
+        )
+        .filter(F.col("priority").isNotNull())
+    )
+    wnd = Window.orderBy("priority", id_col)
+    return (
+        base.orderBy("priority", id_col)
+        .limit(k)
+        .withColumn("sample_rank", F.row_number().over(wnd).cast("long"))
+        .select(id_col, "weight", "priority", "sample_rank")
+    )

@@ -311,3 +311,27 @@ def test_source_health_cross_source_duplication(spark):
     assert out["mirror"].dup_docs == 1
     assert out["mirror"].short_docs == 1
     assert out["feed_a"].short_docs == 0
+
+
+def test_weighted_topk_sample_bias_and_determinism(spark):
+    from py_image_toolkit_spark.operators.corpus import weighted_topk_sample
+
+    # 500 docs: half weight 10, half weight 1, a few weight 0
+    rows = [(i, 10 if i % 2 == 0 else (0 if i % 97 == 0 else 1)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    out = weighted_topk_sample(df, "weight", k=60).collect()
+    assert len(out) == 60
+    # zero-weight docs never appear
+    assert all(r.weight > 0 for r in out)
+    # heavy class dominates the sample well beyond its 50% population share
+    heavy = sum(1 for r in out if r.weight == 10)
+    assert heavy > 40
+    # deterministic rerun
+    again = weighted_topk_sample(df, "weight", k=60).collect()
+    assert [(r.doc_id, r.sample_rank) for r in out] == [
+        (r.doc_id, r.sample_rank) for r in again
+    ]
+    # ranks are 1..k ordered by priority
+    assert [r.sample_rank for r in sorted(out, key=lambda r: r.priority)] == list(
+        range(1, 61)
+    )
