@@ -5029,3 +5029,45 @@ def q91(spark, sf_dir):
         .alias("weight"),
     )
     return weighted_topk_sample(d, "weight", k=50).orderBy("sample_rank")
+
+
+ORACLE_SQL["q92_rrf_fusion"] = f"""
+    WITH sys_a AS ({ORACLE_SQL["q22_ann_cosine_topk"]}),
+    sys_b AS ({ORACLE_SQL["q23_ann_lsh_bucketed"]}),
+    u AS (
+      SELECT probe_id, corpus_id, rank FROM sys_a
+      UNION ALL SELECT probe_id, corpus_id, rank FROM sys_b
+    ),
+    fused AS (
+      SELECT probe_id, corpus_id,
+             CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_systems
+      FROM u GROUP BY probe_id, corpus_id
+    )
+    SELECT probe_id, rank, corpus_id, rrf_micro, n_systems FROM (
+      SELECT probe_id, corpus_id, rrf_micro, n_systems,
+             CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+               ORDER BY rrf_micro DESC, corpus_id) AS BIGINT) AS rank
+      FROM fused
+    ) WHERE rank <= 10 ORDER BY probe_id, rank
+    """
+
+
+@register("q92_rrf_fusion", ORACLE_SQL["q92_rrf_fusion"])
+def q92(spark, sf_dir):
+    """Reciprocal-rank fusion (operators/similarity.py rrf_fuse) of the
+    exact cosine ranking (q22) and the sign-LSH ranking (q23): the
+    standard retrieval ensemble — only ranks matter, score = Σ 1e6 DIV
+    (60 + rank) in exact integer micro-units, items missing from a
+    system contribute nothing, ties break by item id. The fusion layer
+    touches only the k·probes ranking rows (one union + one keyed
+    groupBy + one per-probe window); the corpora behind the rankings
+    are never re-read. The oracle composes the two systems' own oracle
+    CTEs, so the fusion is verified on top of independently verified
+    inputs."""
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    probes = emb.filter(F.col("vec_id") < 5)
+    a = S.cosine_topk(corpus, probes, k=10)
+    b = S.cosine_topk_lsh(corpus, probes, k=10)
+    return S.rrf_fuse([a, b], k=10).orderBy("probe_id", "rank")

@@ -346,3 +346,46 @@ def pool_embeddings(
     return agg.select(
         F.col(group_col), F.posexplode(mean).alias("dim", "mean_micro")
     ).select(group_col, F.col("dim").cast("long").alias("dim"), "mean_micro")
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    probe_col: str = "probe_id",
+    item_col: str = "corpus_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher) over any number
+    of per-probe rankings — the standard way to ensemble retrieval
+    systems (exact + LSH ANN, BM25 + dense, …) without calibrating their
+    incomparable scores: only RANKS matter,
+
+        rrf_micro(item) = Σ_systems 1e6 DIV (c + rank_in_system)
+
+    in exact integer micro-units (bit-reproducible; c=60 per the paper).
+    Items missing from a system simply contribute nothing — no
+    imputation. Output: probe, rank (fused), item, rrf_micro, n_systems.
+
+    Scale posture: inputs are already top-k-sized (k·probes rows each);
+    one union + one (probe, item) groupBy + one per-probe window — the
+    corpora behind the rankings are never touched again.
+    """
+    u = None
+    for r in rankings:
+        s = r.select(F.col(probe_col), F.col(item_col), F.col(rank_col))
+        u = s if u is None else u.unionByName(s)
+    fused = u.groupBy(probe_col, item_col).agg(
+        F.sum(F.expr(f"CAST(1000000 AS BIGINT) DIV ({c} + {rank_col})"))
+        .cast("long")
+        .alias("rrf_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_systems"),
+    )
+    w = Window.partitionBy(probe_col).orderBy(
+        F.col("rrf_micro").desc(), F.col(item_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(probe_col, "rank", item_col, "rrf_micro", "n_systems")
+    )

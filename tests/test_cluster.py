@@ -154,3 +154,27 @@ def test_pool_embeddings_exact_mean_and_order_independence(spark):
         ).collect()
     }
     assert out3 == out2
+
+
+def test_rrf_fusion_rank_math_and_missing_items(spark):
+    from py_image_toolkit_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1, 100), (1, 2, 200), (1, 3, 300)],
+        "probe_id long, rank long, corpus_id long",
+    )
+    b = spark.createDataFrame(
+        [(1, 1, 200), (1, 2, 999)],  # 200 ranked first here; 999 unseen by A
+        "probe_id long, rank long, corpus_id long",
+    )
+    out = {r.corpus_id: r for r in rrf_fuse([a, b], k=10).collect()}
+    # item 200: 1e6//62 + 1e6//61 from both systems — the consensus item wins
+    assert out[200].rrf_micro == 1_000_000 // 62 + 1_000_000 // 61
+    assert out[200].n_systems == 2 and out[200].rank == 1
+    # single-system items score exactly their one reciprocal term
+    assert out[100].rrf_micro == 1_000_000 // 61 and out[100].n_systems == 1
+    assert out[999].rrf_micro == 1_000_000 // 62
+    # fused order: consensus > best single > ...
+    assert [r.corpus_id for r in sorted(out.values(), key=lambda r: r.rank)] == [
+        200, 100, 999, 300,
+    ]
