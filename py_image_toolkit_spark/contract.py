@@ -5071,3 +5071,57 @@ def q92(spark, sf_dir):
     a = S.cosine_topk(corpus, probes, k=10)
     b = S.cosine_topk_lsh(corpus, probes, k=10)
     return S.rrf_fuse([a, b], k=10).orderBy("probe_id", "rank")
+
+
+_SNIPPET_TERMS = ("customer", "query", "window", "stream")
+
+
+@register(
+    "q93_best_snippet",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS arr
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, i - 1 AS pos,
+             CASE WHEN arr[i] IN ({', '.join(repr(t) for t in _SNIPPET_TERMS)})
+                  THEN 1 ELSE 0 END AS hit
+      FROM toks, UNNEST(generate_series(1, len(arr))) AS t(i)
+    ),
+    scored AS (
+      SELECT doc_id, pos,
+             SUM(hit) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 11 FOLLOWING) AS hits
+      FROM tok
+    ),
+    best AS (
+      SELECT doc_id, pos AS snippet_start, hits AS snippet_hits FROM (
+        SELECT doc_id, pos, hits,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, pos) AS r
+        FROM scored
+      ) WHERE r = 1
+    )
+    SELECT b.doc_id, CAST(b.snippet_start AS BIGINT) AS snippet_start,
+           CAST(b.snippet_hits AS BIGINT) AS snippet_hits,
+           array_to_string(t.arr[b.snippet_start + 1:b.snippet_start + 12], ' ')
+             AS snippet
+    FROM best b JOIN toks t ON b.doc_id = t.doc_id
+    WHERE b.snippet_hits > 0
+    ORDER BY b.doc_id
+    """,
+)
+def q93(spark, sf_dir):
+    """Retrieval snippet generation (operators/corpus.py best_snippet):
+    per document, the 12-token window with the most query-term hits
+    (earliest wins ties) — the display layer a search stack runs after
+    q74's ranking. Query terms fold into the plan as a literal isin (no
+    join); density is one doc-keyed frame window; the winner is a max_by
+    aggregation (not a second window pass); the snippet re-joins from
+    the token array map-side. Docs with zero hits drop."""
+    from py_image_toolkit_spark.operators.corpus import best_snippet
+
+    return best_snippet(
+        t(spark, sf_dir, "documents"), _SNIPPET_TERMS, window_tokens=12
+    ).orderBy("doc_id")

@@ -743,3 +743,58 @@ def weighted_topk_sample(
         .withColumn("sample_rank", F.row_number().over(wnd).cast("long"))
         .select(id_col, "weight", "priority", "sample_rank")
     )
+
+
+def best_snippet(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    window_tokens: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Retrieval snippet generation: for each document, the
+    ``window_tokens``-wide token window containing the MOST query-term
+    hits (earliest window wins ties — deterministic), plus the hit
+    count. The display layer of a search stack: q74 ranks documents,
+    this picks what to show.
+
+    Scale posture (100 TB): query terms fold into the plan as a literal
+    ``isin`` (no join); hit density is one doc-keyed frame window over
+    dense positions; the winner is a max_by aggregation (no second
+    window pass); the snippet re-joins from the token array map-side.
+    One doc-keyed shuffle total.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens_array(F.col(text_col))).alias("pos", "tok"),
+    )
+    hit = F.col("tok").isin(*query_terms).cast("long")
+    w_frame = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window_tokens - 1)
+    )
+    scored = toks.withColumn("_hits", F.sum(hit).over(w_frame))
+    # earliest max-density window start per doc: max_by on (hits, -pos)
+    win = scored.groupBy(id_col).agg(
+        F.max_by(
+            F.struct(F.col("pos").alias("start"), F.col("_hits").alias("hits")),
+            F.struct(F.col("_hits"), (-F.col("pos")).alias("np")),
+        ).alias("_w"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    arr = docs.select(
+        F.col(id_col), tokens_array(F.col(text_col)).alias("_arr")
+    )
+    return (
+        win.join(arr, id_col)
+        .select(
+            id_col,
+            F.col("_w.start").cast("long").alias("snippet_start"),
+            F.col("_w.hits").cast("long").alias("snippet_hits"),
+            F.array_join(
+                F.slice(F.col("_arr"), F.col("_w.start") + 1, window_tokens), " "
+            ).alias("snippet"),
+        )
+        .filter(F.col("snippet_hits") > 0)
+    )

@@ -335,3 +335,28 @@ def test_weighted_topk_sample_bias_and_determinism(spark):
     assert [r.sample_rank for r in sorted(out, key=lambda r: r.priority)] == list(
         range(1, 61)
     )
+
+
+def test_best_snippet_picks_densest_earliest_window(spark):
+    from py_image_toolkit_spark.operators.corpus import best_snippet
+
+    docs = spark.createDataFrame(
+        [
+            # dense cluster of hits late in the doc beats a lone early hit
+            (1, "query a b c d e f g h i j k l query window query m n"),
+            (2, "no hits here at all just filler words"),
+            (3, "tie tie query x query y z w v u t s r q p o n"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in best_snippet(docs, ("query", "window"), window_tokens=4).collect()}
+    # doc 1: window starting at the late cluster holds 3 hits
+    assert out[1].snippet_hits == 3
+    assert out[1].snippet.split(" ")[0] == "query" or "query" in out[1].snippet
+    # both 3-hit windows (start 12 'l query window query' and start 13)
+    # tie; earliest wins
+    assert out[1].snippet_start == 12
+    # zero-hit docs drop
+    assert 2 not in out
+    # doc 3: two equal-density windows -> earliest start wins
+    assert out[3].snippet_start == 1 and out[3].snippet_hits == 2
