@@ -5125,3 +5125,74 @@ def q93(spark, sf_dir):
     return best_snippet(
         t(spark, sf_dir, "documents"), _SNIPPET_TERMS, window_tokens=12
     ).orderBy("doc_id")
+
+
+_SCRIPT_FIXTURE_SQL = """
+    script_docs AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN lang = 'zh' THEN ' 数据处理系统与查询引擎' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN ' 한국어 토큰 처리' ELSE '' END
+             || CASE WHEN doc_id % 17 = 0 THEN ' обработка данных' ELSE '' END
+             || CASE WHEN doc_id % 19 = 0 THEN ' معالجة البيانات' ELSE '' END
+               AS text
+      FROM documents
+    )
+"""
+
+
+def _script_docs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    txt = F.concat(
+        txt,
+        F.when(F.col("lang") == "zh", " 数据处理系统与查询引擎").otherwise(""),
+        F.when(F.col("doc_id") % 13 == 0, " 한국어 토큰 처리").otherwise(""),
+        F.when(F.col("doc_id") % 17 == 0, " обработка данных").otherwise(""),
+        F.when(F.col("doc_id") % 19 == 0, " معالجة البيانات").otherwise(""),
+    )
+    return d.select("doc_id", txt.alias("text"))
+
+
+def _script_count_sql(cls: str) -> str:
+    return f"(LENGTH(text) - LENGTH(regexp_replace(text, '[{cls}]', '', 'g')))"
+
+
+@register(
+    "q94_script_mix",
+    f"""
+    WITH {_SCRIPT_FIXTURE_SQL},
+    c AS (
+      SELECT doc_id,
+             CAST({_script_count_sql('A-Za-z')} AS BIGINT) AS n_latin,
+             CAST({_script_count_sql('Ѐ-ӿ')} AS BIGINT) AS n_cyrillic,
+             CAST({_script_count_sql('؀-ۿ')} AS BIGINT) AS n_arabic,
+             CAST({_script_count_sql('가-힣')} AS BIGINT) AS n_hangul,
+             CAST({_script_count_sql('一-鿿')} AS BIGINT) AS n_cjk,
+             CAST(LENGTH(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+               AS n_nonspace
+      FROM script_docs
+    )
+    SELECT doc_id, n_latin, n_cyrillic, n_arabic, n_hangul, n_cjk, n_nonspace,
+           CASE GREATEST(n_latin, n_cyrillic, n_arabic, n_hangul, n_cjk)
+                WHEN n_latin THEN 'latin'
+                WHEN n_cyrillic THEN 'cyrillic'
+                WHEN n_arabic THEN 'arabic'
+                WHEN n_hangul THEN 'hangul'
+                ELSE 'cjk' END AS dominant_script,
+           CAST(1000000 * GREATEST(n_latin, n_cyrillic, n_arabic, n_hangul, n_cjk)
+                // GREATEST(n_nonspace, 1) AS BIGINT) AS dominant_ppm
+    FROM c ORDER BY doc_id
+    """,
+)
+def q94(spark, sf_dir):
+    """Unicode script profiling (operators/text_stats.py script_mix):
+    per-doc character counts in the major script blocks, the dominant
+    script (first-in-table tie-break) and its exact ppm of non-space
+    characters — the router in front of script-specific tokenizers/LM
+    filters and a mixed-script spam signal. The fixture appends CJK /
+    Hangul / Cyrillic / Arabic tails on deterministic residues so every
+    branch carries mass. Fixed codegen regexp chain, zero shuffle."""
+    from py_image_toolkit_spark.operators.text_stats import script_mix
+
+    return script_mix(_script_docs(spark, sf_dir)).orderBy("doc_id")

@@ -549,3 +549,60 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+_SCRIPT_CLASSES = (
+    ("latin", "A-Za-z"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("arabic", "؀-ۿ"),
+    ("hangul", "가-힣"),
+    ("cjk", "一-鿿"),
+)
+
+
+def script_mix(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Unicode script profiling: per document, the character count in
+    each major script block (Latin, Cyrillic, Arabic, Hangul, CJK) plus
+    the dominant script and its exact ppm share of non-space characters.
+    The router in front of script-specific stages (tokenizers, LM
+    filters, q24's lang-id) and a mixed-script spam signal (Cyrillic
+    lookalikes inside Latin text score as mixed).
+
+    Scale posture (100 TB): one regexp_replace length-diff per script —
+    a fixed chain of codegen Columns, zero shuffle, html/text never
+    leaves the map side.
+    """
+    txt = F.col(text_col)
+    nonspace = F.length(F.regexp_replace(txt, r"\s", "")).cast("long")
+    counts = {
+        name: (
+            F.length(txt) - F.length(F.regexp_replace(txt, f"[{cls}]", ""))
+        ).cast("long")
+        for name, cls in _SCRIPT_CLASSES
+    }
+    # dominant script: max count, first-in-table tie-break via max_by on
+    # (count, reverse-priority) — all per-row, no window
+    pairs = [
+        F.struct(
+            counts[name].alias("n"),
+            F.lit(len(_SCRIPT_CLASSES) - i).alias("prio"),
+            F.lit(name).alias("script"),
+        )
+        for i, (name, _) in enumerate(_SCRIPT_CLASSES)
+    ]
+    dominant = F.greatest(*pairs)
+    return df.select(
+        F.col(id_col),
+        *[counts[name].alias(f"n_{name}") for name, _ in _SCRIPT_CLASSES],
+        nonspace.alias("n_nonspace"),
+        dominant["script"].alias("dominant_script"),
+        F.expr(
+            "CAST(1000000 AS BIGINT) * "
+            + "GREATEST("
+            + ", ".join(
+                f"(length({text_col}) - length(regexp_replace({text_col}, '[{cls}]', '')))"
+                for _, cls in _SCRIPT_CLASSES
+            )
+            + f") DIV GREATEST(length(regexp_replace({text_col}, '\\\\s', '')), 1)"
+        ).cast("long").alias("dominant_ppm"),
+    )

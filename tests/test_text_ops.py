@@ -242,3 +242,26 @@ def test_chunk_documents_boundaries(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_script_mix_counts_and_dominance(spark):
+    from py_image_toolkit_spark.operators.text_stats import script_mix
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "데이터 처리 파이프라인"),
+            (3, "数据 data 处理 системы"),   # CJK 4, latin 4, cyrillic 7
+            (4, "123 456"),                  # no script chars at all
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in script_mix(df).collect()}
+    assert out[1].dominant_script == "latin" and out[1].n_latin == 10
+    assert out[2].dominant_script == "hangul" and out[2].n_hangul > 0
+    assert out[3].dominant_script == "cyrillic"
+    assert out[3].n_cjk == 4 and out[3].n_latin == 4 and out[3].n_cyrillic == 7
+    # scriptless text: zero counts, first-in-table dominance, 0 ppm
+    assert out[4].dominant_script == "latin" and out[4].dominant_ppm == 0
+    # ppm is over non-space chars
+    assert out[1].dominant_ppm == 1_000_000
