@@ -5196,3 +5196,89 @@ def q94(spark, sf_dir):
     from py_image_toolkit_spark.operators.text_stats import script_mix
 
     return script_mix(_script_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "q95_robots_sitemaps",
+    """
+    WITH bodies AS (
+      SELECT 'rs-' || CAST(doc_id % 25 AS VARCHAR) || '.example' AS host,
+             'User-agent: *' || chr(10) || 'Disallow: /x' || chr(10)
+             || CASE WHEN doc_id % 25 % 2 = 0
+                     THEN 'Sitemap: https://rs-' || CAST(doc_id % 25 AS VARCHAR)
+                          || '.example/sitemap.xml' || chr(10)
+                     ELSE '' END
+             || CASE WHEN doc_id % 25 % 3 = 0
+                     THEN '  sitemap:   https://cdn.example/rs-'
+                          || CAST(doc_id % 25 AS VARCHAR) || '.xml  ' || chr(10)
+                     ELSE '' END AS robots_txt
+      FROM documents WHERE doc_id < 25
+    ),
+    m AS (
+      SELECT host, regexp_extract_all(robots_txt,
+               '(?im)^[ \\t]*Sitemap:[ \\t]*([^\\r\\n]+)', 1) AS urls
+      FROM bodies
+    )
+    SELECT host, CAST(i - 1 AS BIGINT) AS sitemap_idx, trim(urls[i]) AS sitemap_url
+    FROM m, UNNEST(generate_series(1, len(urls))) AS t(i)
+    ORDER BY host, sitemap_idx
+    """,
+)
+def q95(spark, sf_dir):
+    """Sitemap directives from robots.txt (operators/web.py
+    robots_sitemaps) — the spec makes these group-independent (no agent
+    scoping, unlike Crawl-delay), collected in body order; the fixture
+    mixes canonical lines, lowercase+padded variants and hosts with
+    zero/one/two directives. One map-side posexplode, zero shuffle."""
+    from py_image_toolkit_spark.operators.web import robots_sitemaps
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+    k = (F.col("doc_id") % 25).cast("string")
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /x\n"),
+        F.when(
+            F.col("doc_id") % 25 % 2 == 0,
+            F.concat(F.lit("Sitemap: https://rs-"), k, F.lit(".example/sitemap.xml\n")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 25 % 3 == 0,
+            F.concat(F.lit("  sitemap:   https://cdn.example/rs-"), k, F.lit(".xml  \n")),
+        ).otherwise(""),
+    )
+    robots = d.select(
+        F.concat(F.lit("rs-"), k, F.lit(".example")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    return robots_sitemaps(robots).orderBy("host", "sitemap_idx")
+
+
+@register(
+    "q96_url_templates",
+    f"""
+    WITH {_URLS_SQL},
+    p AS (
+      SELECT lower(regexp_replace(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$', ''))
+               AS host,
+             regexp_replace(
+               regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+               '[0-9]+', '{{n}}', 'g') AS template
+      FROM urls
+    )
+    SELECT host, CASE WHEN template = '' THEN '/' ELSE template END AS template,
+           CAST(COUNT(*) AS BIGINT) AS n_urls
+    FROM p GROUP BY host, template
+    ORDER BY n_urls DESC, host, template LIMIT 50
+    """,
+)
+def q96(spark, sf_dir):
+    """URL path-template mining (operators/web.py url_templates): digit
+    runs collapse to {{n}} and the dominant per-host URL families
+    emerge — crawl-budget shaping and the source of q61-style pattern
+    blocklists. Map-side regex chain + one template-keyed
+    map-side-combinable groupBy + TakeOrderedAndProject top-k."""
+    from py_image_toolkit_spark.operators.web import url_templates
+
+    return url_templates(_urls_df(spark, sf_dir), k=50).orderBy(
+        F.desc("n_urls"), "host", "template"
+    )

@@ -535,3 +535,47 @@ def training_eligibility(
         reason.isNull().alias("eligible"),
         reason.alias("reason"),
     )
+
+
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """``Sitemap:`` directives from robots bodies — the link from the
+    robots family (q69/q84) to the sitemap family (q85): per the spec
+    these lines are GROUP-INDEPENDENT, so unlike Crawl-delay no agent
+    scoping applies; every occurrence is collected in body order.
+    One map-side posexplode, zero shuffle."""
+    urls = F.regexp_extract_all(
+        F.col(txt_col), F.lit(r"(?im)^[ \t]*Sitemap:[ \t]*([^\r\n]+)"), 1
+    )
+    return robots.select(
+        F.col(host_col),
+        F.posexplode(urls).alias("sitemap_idx", "sitemap_url"),
+    ).select(
+        host_col,
+        F.col("sitemap_idx").cast("long").alias("sitemap_idx"),
+        F.trim(F.col("sitemap_url")).alias("sitemap_url"),
+    )
+
+
+def url_templates(
+    df: DataFrame, url_col: str = "url", k: int = 50
+) -> DataFrame:
+    """URL path-template mining: digit runs collapse to ``{n}`` and the
+    top-k templates by frequency emerge — how crawl analysis finds the
+    ``/product/{n}`` and ``/page/{n}`` families that dominate a site
+    (for crawl-budget shaping and URL-pattern blocklists). Map-side
+    regex + one template-keyed groupBy + TakeOrderedAndProject.
+    """
+    path = F.regexp_replace(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""
+    )
+    tmpl = F.regexp_replace(path, "[0-9]+", "{n}")
+    tmpl = F.when(tmpl == "", "/").otherwise(tmpl)
+    return (
+        df.select(host_of(F.col(url_col)).alias("host"), tmpl.alias("template"))
+        .groupBy("host", "template")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls"))
+        .orderBy(F.desc("n_urls"), "host", "template")
+        .limit(k)
+    )

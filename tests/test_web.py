@@ -447,3 +447,35 @@ def test_training_eligibility_gate_precedence(spark):
     assert out["https://bad.example/p"].reason == "blocked_host"
     assert out["https://ok.example/private/x"].reason == "robots_disallow"
     assert out["https://ok.example/q"].reason == "meta_noindex"
+
+
+def test_robots_sitemaps_case_padding_and_order(spark):
+    from py_image_toolkit_spark.operators.web import robots_sitemaps
+
+    body = (
+        "User-agent: *\nDisallow: /\n"
+        "Sitemap: https://a.example/s1.xml\n"
+        "  sitemap:   https://a.example/s2.xml  \n"
+        "NotASitemap: https://a.example/no.xml\n"
+    )
+    df = spark.createDataFrame([("a.example", body)], "host string, robots_txt string")
+    out = sorted(robots_sitemaps(df).collect(), key=lambda r: r.sitemap_idx)
+    assert [r.sitemap_url for r in out] == [
+        "https://a.example/s1.xml", "https://a.example/s2.xml",
+    ]
+
+
+def test_url_templates_collapse_digit_families(spark):
+    from py_image_toolkit_spark.operators.web import url_templates
+
+    urls = [(f"https://s.example/product/{i}",) for i in range(20)]
+    urls += [(f"https://s.example/page/{i}/view",) for i in range(5)]
+    urls += [("https://s.example/about",), ("https://other.example/product/7",)]
+    df = spark.createDataFrame(urls, "url string")
+    out = url_templates(df, k=10).collect()
+    top = out[0]
+    assert (top.host, top.template, top.n_urls) == ("s.example", "/product/{n}", 20)
+    by_tmpl = {(r.host, r.template): r.n_urls for r in out}
+    assert by_tmpl[("s.example", "/page/{n}/view")] == 5
+    assert by_tmpl[("s.example", "/about")] == 1
+    assert by_tmpl[("other.example", "/product/{n}")] == 1
