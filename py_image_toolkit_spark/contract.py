@@ -5282,3 +5282,77 @@ def q96(spark, sf_dir):
     return url_templates(_urls_df(spark, sf_dir), k=50).orderBy(
         F.desc("n_urls"), "host", "template"
     )
+
+
+@register(
+    "q97_host_language_diversity",
+    f"""
+    WITH {_URLS_SQL},
+    hosted AS (
+      SELECT lower(regexp_replace(regexp_extract(url,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$', ''))
+               AS host, lang
+      FROM urls
+    ),
+    per_lang AS (
+      SELECT host, lang, CAST(COUNT(*) AS BIGINT) AS n_l
+      FROM hosted GROUP BY host, lang
+    )
+    SELECT host,
+           CAST(SUM(n_l) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           CAST(1000000 - 1000000 * SUM(n_l * n_l) // (SUM(n_l) * SUM(n_l))
+                AS BIGINT) AS diversity_micro
+    FROM per_lang GROUP BY host ORDER BY host
+    """,
+)
+def q97(spark, sf_dir):
+    """Per-host language diversity (operators/web.py
+    host_language_diversity): the Gini–Simpson index 1e6 − 1e6·Σn_l²
+    DIV n² — integer-exact where Shannon entropy is not; 0 means
+    monolingual, high means aggregator/spam-mill mix. One (host, lang)
+    map-side-combinable groupBy + one host rollup."""
+    from py_image_toolkit_spark.operators.web import host_language_diversity
+
+    return host_language_diversity(_urls_df(spark, sf_dir)).orderBy("host")
+
+
+@register(
+    "q98_shard_assignment",
+    """
+    WITH per AS (
+      SELECT ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456
+            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216
+            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576
+            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536
+            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096
+            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256
+            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16
+            + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1)) % 16
+               AS shard,
+             n_chars
+      FROM documents
+    ),
+    agg AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_bytes
+      FROM per GROUP BY shard
+    ),
+    tot AS (SELECT CAST(SUM(total_bytes) AS BIGINT) AS grand FROM agg)
+    SELECT shard, n_docs, total_bytes,
+           CAST(1000000 * total_bytes * 16 // grand - 1000000 AS BIGINT) AS dev_ppm
+    FROM agg, tot ORDER BY shard
+    """,
+)
+def q98(spark, sf_dir):
+    """Deterministic output sharding + balance report (operators/web.py
+    shard_assignment): md5(id) mod 16 assignment (rerun-stable,
+    engine-independent) with each shard's exact ppm deviation from the
+    mean byte load — the check that says whether hash sharding suffices
+    or size-aware packing is needed for a release. Per-row Column
+    assignment, one shard groupBy, broadcast grand total."""
+    from py_image_toolkit_spark.operators.web import shard_assignment
+
+    return shard_assignment(
+        t(spark, sf_dir, "documents"), n_shards=16
+    ).orderBy("shard")

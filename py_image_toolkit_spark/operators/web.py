@@ -579,3 +579,81 @@ def url_templates(
         .orderBy(F.desc("n_urls"), "host", "template")
         .limit(k)
     )
+
+
+def host_language_diversity(
+    df: DataFrame,
+    url_col: str = "url",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-host language diversity by the Gini–Simpson index — chosen
+    over Shannon entropy because 1 − Σ pᵢ² is integer-exact:
+
+        diversity_micro = 1e6 − (1e6 · Σ_l n_l²) DIV n²
+
+    0 ⇒ monolingual host, →1e6 ⇒ evenly mixed. The curation signal: a
+    host serving many languages is usually an aggregator/spam mill,
+    while legit sites are near-monolingual.
+
+    Scale posture: one (host, lang) groupBy (map-side combinable) + one
+    host groupBy over the already-tiny per-language rows.
+    """
+    hosted = df.select(host_of(F.col(url_col)).alias("host"), F.col(lang_col))
+    per_lang = hosted.groupBy("host", lang_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_l")
+    )
+    return (
+        per_lang.groupBy("host")
+        .agg(
+            F.sum("n_l").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.sum(F.col("n_l") * F.col("n_l")).cast("long").alias("_ss"),
+        )
+        .withColumn(
+            "diversity_micro",
+            F.expr(
+                "CAST(1000000 AS BIGINT)"
+                " - CAST(1000000 AS BIGINT) * _ss DIV (n_docs * n_docs)"
+            ),
+        )
+        .select("host", "n_docs", "n_langs", "diversity_micro")
+    )
+
+
+def shard_assignment(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Deterministic output sharding with a balance report: docs hash to
+    ``md5(id) mod n_shards`` (rerun-stable, engine-independent — the
+    writer-side partitioning plan for a corpus release) and the report
+    shows per-shard doc/byte totals plus each shard's exact ppm
+    deviation from the mean byte load — the number that says whether
+    hash sharding suffices or size-aware packing (q49) is needed.
+
+    Scale posture: assignment is a per-row Column; the report is one
+    shard-keyed groupBy (n_shards rows) + a broadcast 1-row total.
+    """
+    shard = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % n_shards
+    )
+    per = df.select(shard.alias("shard"), F.col(size_col).cast("long").alias("_sz"))
+    agg = per.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_sz").cast("long").alias("total_bytes"),
+    )
+    tot = agg.agg(F.sum("total_bytes").cast("long").alias("_grand"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "dev_ppm",
+            F.expr(
+                f"CAST(1000000 AS BIGINT) * total_bytes * {n_shards} DIV _grand"
+                " - CAST(1000000 AS BIGINT)"
+            ),
+        )
+        .select("shard", "n_docs", "total_bytes", "dev_ppm")
+    )

@@ -479,3 +479,39 @@ def test_url_templates_collapse_digit_families(spark):
     assert by_tmpl[("s.example", "/page/{n}/view")] == 5
     assert by_tmpl[("s.example", "/about")] == 1
     assert by_tmpl[("other.example", "/product/{n}")] == 1
+
+
+def test_host_language_diversity_bounds(spark):
+    from py_image_toolkit_spark.operators.web import host_language_diversity
+
+    rows = (
+        [(f"https://mono.example/{i}", "en") for i in range(10)]
+        + [(f"https://mixed.example/{i}", ["en", "de", "fr", "zh"][i % 4]) for i in range(8)]
+    )
+    df = spark.createDataFrame(rows, "url string, lang string")
+    out = {r.host: r for r in host_language_diversity(df).collect()}
+    assert out["mono.example"].diversity_micro == 0
+    assert out["mono.example"].n_langs == 1
+    # 4 languages, 2 docs each: 1 - 4*(2/8)^2 = 0.75 exactly
+    assert out["mixed.example"].diversity_micro == 750_000
+    assert out["mixed.example"].n_langs == 4
+
+
+def test_shard_assignment_covers_all_docs_and_balances(spark):
+    from pyspark.sql import functions as F
+
+    from py_image_toolkit_spark.operators.web import shard_assignment
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(800)], "doc_id long, n_chars long"
+    )
+    out = shard_assignment(df, n_shards=8).collect()
+    assert len(out) == 8
+    assert sum(r.n_docs for r in out) == 800
+    # uniform sizes: deviation tracks doc-count skew only; md5 spreads well
+    assert all(abs(r.dev_ppm) < 300_000 for r in out)
+    # deterministic rerun
+    again = shard_assignment(df, n_shards=8).collect()
+    assert sorted((r.shard, r.n_docs) for r in out) == sorted(
+        (r.shard, r.n_docs) for r in again
+    )
