@@ -5356,3 +5356,82 @@ def q98(spark, sf_dir):
     return shard_assignment(
         t(spark, sf_dir, "documents"), n_shards=16
     ).orderBy("shard")
+
+
+@register(
+    "q99_link_density",
+    "WITH " + _LINK_PAGES_SQL.strip().rstrip() + """
+    SELECT url,
+           CAST(len(regexp_extract_all(html, '(?i)<a[\\s>]')) AS BIGINT)
+             AS n_anchors,
+           CAST(LENGTH(html) AS BIGINT) AS n_chars,
+           CAST(10000 * len(regexp_extract_all(html, '(?i)<a[\\s>]'))
+                // GREATEST(LENGTH(html), 1) AS BIGINT) AS anchors_per_10k
+    FROM link_pages ORDER BY url
+    """,
+)
+def q99(spark, sf_dir):
+    """Outlink-density quality gate (operators/web.py link_density):
+    anchors per 10k characters of raw HTML — link farms and nav-only
+    pages score high, articles low; the page-level form of the
+    boilerpipe block ratio, run BEFORE the expensive DOM parse so junk
+    pages never reach it. One map-side regexp count + length, exact
+    BIGINT ratio, html never shuffles."""
+    from py_image_toolkit_spark.operators.web import link_density
+
+    pages = _link_pages(spark, sf_dir).select(
+        "url", F.encode(F.col("html"), "UTF-8").alias("html")
+    )
+    return link_density(pages).orderBy("url")
+
+
+@register(
+    "q100_vocab_oov_rate",
+    """
+    WITH toks AS (
+      SELECT lang, t.tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+             AS t(tok)
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, COUNT(*) AS c FROM toks WHERE lang = 'en' GROUP BY tok
+        ORDER BY c DESC, tok LIMIT 100
+      )
+    ),
+    per AS (
+      SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks GROUP BY lang, tok
+    )
+    SELECT p.lang,
+           CAST(SUM(p.n) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN p.n ELSE 0 END) AS BIGINT)
+             AS oov_tokens,
+           CAST(1000000 * SUM(CASE WHEN v.tok IS NULL THEN p.n ELSE 0 END)
+                // SUM(p.n) AS BIGINT) AS oov_micro
+    FROM per p LEFT JOIN vocab v ON p.tok = v.tok
+    GROUP BY p.lang ORDER BY p.lang
+    """,
+)
+def q100(spark, sf_dir):
+    """Vocabulary-coverage audit (operators/corpus.py oov_rate): the
+    top-100 whitespace vocabulary of the en slice scored against every
+    language's token occurrences — exact ppm OOV rate, the
+    does-this-tokenizer-transfer number. Token counts reduce to
+    (lang, tok) before the token-keyed vocab join (the vocabulary is
+    never assumed broadcastable); one group rollup, all algebraic."""
+    from py_image_toolkit_spark.operators.corpus import oov_rate
+
+    d = t(spark, sf_dir, "documents")
+    en_toks = d.filter(F.col("lang") == "en").select(
+        F.explode(D.tokens_array(F.col("text"))).alias("token")
+    )
+    vocab = (
+        en_toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "token")
+        .limit(100)
+        .select("token")
+    )
+    return oov_rate(d, vocab).orderBy("lang")

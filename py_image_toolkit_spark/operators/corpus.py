@@ -798,3 +798,46 @@ def best_snippet(
         )
         .filter(F.col("snippet_hits") > 0)
     )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    token_col: str = "token",
+) -> DataFrame:
+    """Vocabulary coverage audit: per group, the share of corpus token
+    OCCURRENCES not covered by the given vocabulary (out-of-vocabulary
+    rate, exact ppm) — the number that says whether a tokenizer/vocab
+    trained on one slice transfers to the rest of the corpus.
+
+    Scale posture: tokens explode map-side and reduce to (group, tok)
+    counts before joining the vocabulary (token-keyed left join — the
+    vocab is NOT assumed broadcastable, matching tfidf_topk's stance);
+    one final group rollup, all aggregates algebraic.
+    """
+    toks = (
+        docs.select(
+            F.col(group_col),
+            F.explode(tokens_array(F.col(text_col))).alias("tok"),
+        )
+        .groupBy(group_col, "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    v = vocab.select(F.col(token_col).alias("tok")).distinct()
+    j = toks.join(v.withColumn("_inv", F.lit(1)), "tok", "left")
+    return (
+        j.groupBy(group_col)
+        .agg(
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+        )
+        .withColumn(
+            "oov_micro",
+            F.expr("CAST(1000000 AS BIGINT) * oov_tokens DIV total_tokens"),
+        )
+    )

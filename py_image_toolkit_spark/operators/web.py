@@ -657,3 +657,33 @@ def shard_assignment(
         )
         .select("shard", "n_docs", "total_bytes", "dev_ppm")
     )
+
+
+def link_density(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Outlink-density quality signal: anchors per 10k characters of raw
+    HTML plus the anchor count itself — link farms and nav-only pages
+    score high, article pages low; boilerpipe-class extractors use
+    exactly this ratio at block level, this is the page-level rollup
+    that gates BEFORE the expensive DOM parse runs.
+
+    Map-side only: one regexp count + one length, exact ppm10k via
+    BIGINT DIV; the html column never shuffles.
+    """
+    html_text = F.col(html_col).cast("string")
+    n_anchors = F.size(
+        F.regexp_extract_all(html_text, F.lit(r"(?i)<a[\s>]"), 0)
+    ).cast("long")
+    n_chars = F.length(html_text).cast("long")
+    return pages.select(
+        F.col(url_col),
+        n_anchors.alias("n_anchors"),
+        n_chars.alias("n_chars"),
+    ).withColumn(
+        "anchors_per_10k",
+        F.expr(
+            "CAST(10000 AS BIGINT) * n_anchors"
+            " DIV GREATEST(n_chars, CAST(1 AS BIGINT))"
+        ).cast("long"),
+    )

@@ -360,3 +360,21 @@ def test_best_snippet_picks_densest_earliest_window(spark):
     assert 2 not in out
     # doc 3: two equal-density windows -> earliest start wins
     assert out[3].snippet_start == 1 and out[3].snippet_hits == 2
+
+
+def test_oov_rate_full_and_zero_coverage(spark):
+    from py_image_toolkit_spark.operators.corpus import oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b", "en"),
+            (2, "a b c", "de"),      # c uncovered -> 1/3
+            (3, "x y z", "zh"),      # fully uncovered
+        ],
+        "doc_id long, text string, lang string",
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], "token string")
+    out = {r.lang: r for r in oov_rate(docs, vocab).collect()}
+    assert out["en"].oov_micro == 0
+    assert out["de"].oov_tokens == 1 and out["de"].oov_micro == 333_333
+    assert out["zh"].oov_micro == 1_000_000

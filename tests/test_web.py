@@ -515,3 +515,21 @@ def test_shard_assignment_covers_all_docs_and_balances(spark):
     assert sorted((r.shard, r.n_docs) for r in out) == sorted(
         (r.shard, r.n_docs) for r in again
     )
+
+
+def test_link_density_ratio(spark):
+    from py_image_toolkit_spark.operators.web import link_density
+
+    nav = '<a href="/1">x</a>' * 50
+    df = spark.createDataFrame(
+        [
+            ("u1", nav.encode()),                       # link farm
+            ("u2", ("<p>" + "word " * 500 + "</p>").encode()),  # prose, no links
+            ("u3", b""),                                # empty page: guarded div
+        ],
+        "url string, html binary",
+    )
+    out = {r.url: r for r in link_density(df).collect()}
+    assert out["u1"].n_anchors == 50 and out["u1"].anchors_per_10k > 400
+    assert out["u2"].n_anchors == 0 and out["u2"].anchors_per_10k == 0
+    assert out["u3"].anchors_per_10k == 0
