@@ -123,8 +123,16 @@ def q02(spark, sf_dir):
     these joins)."""
     li, o = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
     c, n, r = (t(spark, sf_dir, x) for x in ("customer", "nation", "region"))
+    # r6: project the fact side to the 3 needed columns and spread it off
+    # the single-row-group scan split before the join probes + partial agg
+    # (guide §2.3 project-before-exchange + §2.5 input skew; measured
+    # 1.75 s → 1.36 s); orders broadcasts like the other dimensions — the
+    # fact side never shuffles for a join at any scale.
+    li = li.select("l_orderkey", "l_extendedprice", "l_discount").repartition(
+        spark.sparkContext.defaultParallelism, F.col("l_orderkey")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -235,8 +243,15 @@ def q05(spark, sf_dir):
     """,
 )
 def q06(spark, sf_dir):
-    """run-length sessionize-by-change — the exact D5 segment-merge shape."""
-    ev = t(spark, sf_dir, "events")
+    """run-length sessionize-by-change — the exact D5 segment-merge shape.
+
+    r6: explicit user_id repartition replaces the window's own exchange
+    (same key → reused) and pins the partition count — AQE's byte-based
+    coalescing otherwise funnels this CPU-bound window onto a handful of
+    cores (guide §2.4/§2.5; measured 0.91 s → 0.65 s at sf0.1)."""
+    ev = t(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism, F.col("user_id")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     chg = F.when(
         F.lag("event_type").over(w).isNull()
@@ -315,8 +330,13 @@ def q08(spark, sf_dir):
     """,
 )
 def q09(spark, sf_dir):
-    """top-k per group (≙ D1/F2 argmax subject selection)."""
-    p = t(spark, sf_dir, "part")
+    """top-k per group (≙ D1/F2 argmax subject selection).
+
+    r6: explicit p_brand repartition (reused by the window) so the rank
+    pass is not bound to the single-row-group scan split's parallelism."""
+    p = t(spark, sf_dir, "part").repartition(
+        spark.sparkContext.defaultParallelism, F.col("p_brand")
+    )
     w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
     return (
         p.select(
@@ -665,8 +685,6 @@ from py_image_toolkit_spark.functions import vocab as V  # noqa: E402
 from py_image_toolkit_spark.operators.extract_fields import (  # noqa: E402
     label_pass1,
     label_tokens_df,
-    merge_runs_df,
-    pivot_fields_df,
 )
 
 # 24-token vocabulary hitting every classifier rule (incl. quirks: vetoed
@@ -925,13 +943,47 @@ FROM ranked GROUP BY doc_id ORDER BY doc_id
 """,
 )
 def q17(spark, sf_dir):
-    """D5/D6 run-merge + D4 first-wins pivot → one 6-field record per doc."""
-    labeled = label_tokens_df(_e3_tokens_spark(spark, sf_dir), keys=("doc_id",))
-    # pivot ignores 'O' rows — drop them post-sessionize so the filler
-    # label (the vast token majority) never reaches the merge/pivot
-    # shuffles (round-5 bench win; byte-identical, oracle unchanged)
-    merged = merge_runs_df(labeled, keys=("doc_id",), drop_label="O")
-    return pivot_fields_df(merged, keys=("doc_id",)).orderBy("doc_id")
+    """D5/D6 run-merge + D4 first-wins pivot → one 6-field record per doc.
+
+    r6 (guide §4.2): computed in ONE Arrow stage — doc-keyed groupBy
+    (collect_list + array_sort) then the oracle labeling function over
+    whole batches — replacing the ~7 window passes of the relational
+    chain (label_pass1 → name inference → neighbor relabel → sessionize →
+    merge → pivot; measured 3.6 s → 1.0 s at sf0.1). The relational form
+    stays the SQL-verified decomposition via q15/q16 and
+    operators/extract_fields.py; byte-equality of the two forms over this
+    exact token table is pinned by tests/test_extract_fields_kernel.py.
+    The row_number seq window is skipped too: the kernel needs only the
+    ORDER, so the raw (l_orderkey, l_linenumber, l_partkey, l_suppkey)
+    sort key rides the collected structs directly."""
+    from py_image_toolkit_spark.operators.extract_fields import (
+        extract_fields_from_tokens_kernel,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    vocab_arr = F.array(*[F.lit(v) for v in _E3_VOCAB])
+    toks = li.select(
+        (F.col("l_orderkey") % 500).cast("long").alias("doc_id"),
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        F.element_at(
+            vocab_arr,
+            (
+                (F.col("l_partkey") * 7 + F.col("l_suppkey") * 3 + F.col("l_linenumber")) % 24 + 1
+            ).cast("int"),
+        ).alias("token"),
+    )
+    # pre-partition by doc_id so the collect_list groupBy reuses this
+    # exchange in COMPLETE mode: otherwise its partial aggregation builds
+    # every token list inside the single-split parquet scan task (the
+    # bundled tables are one row group — guide §2.5 input skew)
+    toks = toks.repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    return extract_fields_from_tokens_kernel(
+        toks,
+        keys=("doc_id",),
+        order_cols=("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -968,7 +1020,7 @@ sh AS (
 """
 
 
-def _docs_df(spark, sf_dir) -> DataFrame:
+def _docs_df(spark, sf_dir, spread: bool = True) -> DataFrame:
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
     exact = d.filter(F.col("doc_id") % 11 == 0).select(
         (F.col("doc_id") + 10000).alias("doc_id"), "text"
@@ -977,7 +1029,19 @@ def _docs_df(spark, sf_dir) -> DataFrame:
         (F.col("doc_id") + 20000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz near dup tail")).alias("text"),
     )
-    return d.unionByName(exact).unionByName(near)
+    out = d.unionByName(exact).unionByName(near)
+    if spread:
+        # r6 (guide §2.5 input skew): the bundled corpus tables are single
+        # row-group parquet, so the scan is ONE split and every map-side
+        # text stage (shingling, md5, simhash) runs on one core. One cheap
+        # doc_id-keyed exchange of the raw text spreads the CPU-bound work
+        # across the cluster; downstream doc_id-keyed groupBys reuse the
+        # partitioning. Keyed (not round-robin): deterministic under task
+        # retry and no sort-before-repartition pass.
+        out = out.repartition(
+            spark.sparkContext.defaultParallelism, F.col("doc_id")
+        )
+    return out
 
 
 @register(
@@ -1004,11 +1068,13 @@ def q19(spark, sf_dir):
     composed scale architecture (a full shingle self-join is quadratic in
     shared-shingle frequency: 397 s at sf0.1 vs seconds this way; LSH recall
     vs the exhaustive join measured at 99.4%)."""
-    # persist the shingle table: it feeds minhash, both sides of the verify
-    # join, AND the size counts — recomputing it (incl. its distinct
-    # shuffle) per consumer dominated the round-1 bench (59 s of 110 s).
-    # At 100 TB this is a materialized staging table, not an executor cache.
-    shingles = _persist(D.shingle_df(_docs_df(spark, sf_dir), k=3))
+    # persist the per-doc shingle ARRAYS (r6: one row per doc instead of the
+    # exploded+DISTINCT table — the explode → lead-window → distinct pair
+    # of shuffles is gone, guide §2.4): the arrays feed minhash, both sides
+    # of the verify join, AND the size counts. At 100 TB this is a
+    # materialized staging table, not an executor cache.
+    base = _persist(D.doc_shingles(_docs_df(spark, sf_dir), k=3))
+    shingles = base.select("doc_id", F.explode("shingles").alias("shingle"))
     sigs = D.minhash_signatures(shingles, num_hashes=8)
     cands = _persist(D.lsh_band_pairs(sigs, num_hashes=8, rows_per_band=2))
     return D.jaccard_pairs(shingles, min_jaccard=0.5, candidates=cands).orderBy(
@@ -1079,10 +1145,11 @@ ORACLE_SQL["q19_ngram_jaccard"] = _q19_sql()
 def q20(spark, sf_dir):
     """MinHash+LSH candidate pairs: shingle → 8 min-wise hashes → 4 bands →
     bucket self-join (the scale path: no O(n²) cross join)."""
-    shingles = D.shingle_df(_docs_df(spark, sf_dir), k=3)
+    # r6: raw in-row shingle arrays exploded straight into the codegen'd
+    # minhash groupBy (no lead-window / DISTINCT shuffles — guide §2.4)
     # sigs is tiny (1 row/doc) but feeds BOTH sides of the bucket self-join —
     # without the persist the whole shingle+minhash chain runs twice
-    sigs = _persist(D.minhash_signatures(shingles, num_hashes=8))
+    sigs = _persist(D.minhash_shingled(_docs_df(spark, sf_dir), num_hashes=8))
     return D.lsh_band_pairs(sigs, num_hashes=8, rows_per_band=2).orderBy("id_a", "id_b")
 
 
@@ -1158,8 +1225,14 @@ def q22(spark, sf_dir):
     """brute-force cosine top-k (exact ANN baseline): broadcast probes ×
     corpus, sequential-fold dot products, row_number top-k."""
     emb = t(spark, sf_dir, "embeddings")
+    # r6: spread the corpus side off the single scan split before the
+    # broadcast-probe dot products (interpreted array folds are the CPU
+    # cost here — guide §2.5; measured 0.67 s → 0.52 s at sf0.1)
+    corpus = emb.filter(F.col("vec_id") >= 5).repartition(
+        spark.sparkContext.defaultParallelism, F.col("vec_id")
+    )
     return S.cosine_topk(
-        emb.filter(F.col("vec_id") >= 5), emb.filter(F.col("vec_id") < 5), k=10
+        corpus, emb.filter(F.col("vec_id") < 5), k=10
     ).orderBy("probe_id", "rank")
 
 
@@ -1248,8 +1321,14 @@ def q24(spark, sf_dir):
     """,
 )
 def q25(spark, sf_dir):
-    """curation quality features + composite score."""
-    return T.quality_score(t(spark, sf_dir, "documents")).orderBy("doc_id")
+    """curation quality features + composite score.
+
+    r6: spread the docs off the single scan split before the regex/token
+    feature projection (guide §2.5; measured 0.74 s → 0.62 s at sf0.1)."""
+    docs = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    )
+    return T.quality_score(docs).orderBy("doc_id")
 
 
 @register(
@@ -1311,8 +1390,7 @@ def _pair_graph(spark, sf_dir) -> DataFrame:
     hamming-close pairs over the synthesized-duplicate corpus (multi-edge
     components: exact dups pair under both methods)."""
     docs = _docs_df(spark, sf_dir)
-    shingles = D.shingle_df(docs, k=3)
-    sigs = _persist(D.minhash_signatures(shingles, num_hashes=8))
+    sigs = _persist(D.minhash_shingled(docs, num_hashes=8))
     mh = D.lsh_band_pairs(sigs, num_hashes=8, rows_per_band=2)
     # 32-bit SimHash here (vs q21/q28's 16-bit fixture setting): at 16 bits
     # the hamming-2 birthday-collision density degenerates the pair graph

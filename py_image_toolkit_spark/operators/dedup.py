@@ -51,30 +51,53 @@ def tokens_array(text_col: Column) -> Column:
     return F.filter(F.split(text_col, r"\s+"), lambda x: x != "")
 
 
+def shingle_array(text_col: Column, k: int = 3, distinct: bool = True) -> Column:
+    """Word k-grams of a text column as one in-row array — zero shuffles
+    (r6 optimization, guide §2.4).
+
+    Construction is a zip_with chain over the token array and its shifted
+    slices: each argument array is evaluated once per ROW (a constant ~k
+    token-array materializations), never once per element — the
+    transform(sequence, i -> slice(arr, i, k)) form re-splits the full
+    document text O(L) times (measured 14.5 s vs 3 s at sf0.1) and is
+    still avoided. Tail elements with no k-th continuation concat to NULL.
+
+    ``distinct=True``: nulls filtered + within-doc dedup (array_distinct),
+    so exploding reproduces the old distinct (id, shingle) rows without
+    the explode → window(lead) → DISTINCT shuffle pair. ``distinct=False``
+    skips both in-row passes (higher-order functions are interpreted, not
+    codegen'd — measured 0.92 s vs 1.35 s on q20 at sf0.1) for consumers
+    whose aggregate ignores duplicates and nulls (MIN-based minhash)."""
+    arr = tokens_array(text_col)
+    out = arr
+    for j in range(1, k):
+        nxt = F.slice(arr, j + 1, F.greatest(F.size(arr) - j, F.lit(0)))
+        out = F.zip_with(out, nxt, lambda x, y: F.concat(x, F.lit(" "), y))
+    if not distinct:
+        return out
+    return F.array_distinct(F.filter(out, lambda x: x.isNotNull()))
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(id, shingles array<string>) — one row per document, map-side only."""
+    return df.select(
+        F.col(id_col), shingle_array(F.col(text_col), k).alias("shingles")
+    )
+
+
 def shingle_df(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """(id, shingle) rows — distinct word k-grams per document."""
-    # posexplode + window lead, NOT transform(sequence, i -> slice(arr, i, k)):
-    # Catalyst re-evaluates an inlined token array per lambda element (no CSE
-    # through higher-order functions), which re-splits the full document text
-    # O(L) times — measured 14.5 s vs 3 s at sf0.1. Generate materializes the
-    # token rows once; lead() then assembles k-grams with one url-keyed
-    # window shuffle. Short docs (< k tokens) yield all-null leads and drop
-    # out via the filter — no INVALID_PARAMETER_VALUE crash (round-1 ADVICE).
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(tokens_array(F.col(text_col))).alias("pos", "tok"),
-    )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
-    return (
-        toks.select(
-            F.col(id_col),
-            F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("shingle"),
-        )
-        .filter(F.col("shingle").isNotNull())
-        .distinct()
+    """(id, shingle) rows — distinct word k-grams per document.
+
+    r6: computed per-row (shingle_array) and exploded: (id, shingle) rows
+    are already distinct because shingles are deduped within the doc array
+    and id is part of the key — byte-identical to the former
+    explode+lead-window+DISTINCT plan with zero wide shuffles."""
+    return doc_shingles(df, id_col, text_col, k).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
     )
 
 
@@ -85,6 +108,30 @@ def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id", num_hashes: 
         for j in range(num_hashes)
     ]
     return shingles.groupBy(id_col).agg(*aggs)
+
+
+def minhash_shingled(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """text → minhash signatures in one pass: raw (non-distinct, null-tail)
+    in-row shingle arrays exploded straight into the codegen'd md5-min
+    groupBy — MIN ignores both duplicates and the null tail gram, so the
+    signatures are byte-identical to minhash_signatures(shingle_df(df))
+    while skipping the distinct pass entirely (r6; measured 1.4 s → 0.9 s
+    on q20 at sf0.1). Docs shorter than k tokens produce only null grams →
+    all-null sigs → null band buckets, which match nothing in the LSH
+    equijoin — same pair set as the grouped form that dropped them."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(shingle_array(F.col(text_col), k, distinct=False)).alias(
+            "shingle"
+        ),
+    )
+    return minhash_signatures(sh, id_col=id_col, num_hashes=num_hashes)
 
 
 def lsh_band_pairs(

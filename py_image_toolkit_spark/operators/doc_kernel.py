@@ -131,5 +131,19 @@ def doc_extract_df(
     src = pages.select(*cols)
     if num_partitions != 0:
         n = num_partitions or 2 * pages.sparkSession.sparkContext.defaultParallelism
+        # r6 (guide §2.4 / §8): the repartition exists only to balance a
+        # CPU-bound per-document stage — when the scan already yields
+        # enough splits (openCostInBytes keeps small files one-per-task),
+        # shuffling the html payload buys nothing; skip it and let the
+        # kernel read straight off the scan. Payload bytes then move
+        # exactly zero times before the parse.
+        try:
+            scan_parts = src.rdd.getNumPartitions()
+        except Exception:  # non-file sources: keep the balancing shuffle
+            scan_parts = 0
+        if num_partitions is None and scan_parts >= max(
+            2, pages.sparkSession.sparkContext.defaultParallelism
+        ):
+            return src.mapInPandas(_make_doc_kernel(cfg), DOC_SCHEMA)
         src = src.repartition(n, F.col("url"))
     return src.mapInPandas(_make_doc_kernel(cfg), DOC_SCHEMA)

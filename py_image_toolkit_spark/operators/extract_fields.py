@@ -583,6 +583,57 @@ def fields_from_text(df: DataFrame, text_col: str = "extracted_text") -> DataFra
     return out
 
 
+def extract_fields_from_tokens_kernel(
+    tokens: DataFrame,
+    keys: Sequence[str] = ("doc_id",),
+    order_cols: Sequence[str] = ("seq",),
+    token_col: str = "token",
+) -> DataFrame:
+    """(keys, order, token) rows → 6-field record per key group via the
+    oracle labeling function in ONE Arrow stage (guide §4.2 posture: Spark
+    does the distribution/shuffle, the per-document logic runs as native
+    CPython over whole batches — the same pure function the byte-parity
+    suite pins).
+
+    Plan shape: one keys-keyed groupBy (collect_list + array_sort — tokens
+    shuffle once, partially aggregated map-side) then a group-sized Arrow
+    stage. Replaces the ~7 window passes of the relational form
+    (label_pass1 → name inference → neighbor relabel → sessionize → merge →
+    pivot) with a single exchange; byte-identical by construction because
+    oracle/labeling.py is the spec both forms implement (asserted by the
+    q17 DuckDB oracle and tests/test_extract_fields_kernel.py)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from py_image_toolkit_spark.oracle.labeling import extract_fields
+
+    key_fields = [tokens.schema[k] for k in keys]
+    out_schema = StructType(
+        [StructField(f.name, f.dataType, f.nullable) for f in key_fields]
+        + [StructField(f, StringType(), True) for f in V.OUTPUT_FIELDS]
+    )
+
+    ord_struct = F.struct(*[F.col(c) for c in order_cols], F.col(token_col))
+    grouped = tokens.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(ord_struct)), lambda s: s[token_col]
+        ).alias("_toks")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [extract_fields(list(toks)) for toks in pdf["_toks"]]
+            out = {k: pdf[k] for k in keys}
+            for f in V.OUTPUT_FIELDS:
+                out[f] = [r[f] for r in recs]
+            yield pd.DataFrame(out)
+
+    return grouped.mapInPandas(run, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # Arrow-kernel implementation (production default)
 # ---------------------------------------------------------------------------

@@ -49,14 +49,35 @@ def build_session(
         # CPU-heavy pipeline: the 64 MB default advisory size lets AQE
         # coalesce shuffle stages below the core count on modest data —
         # byte-sized partitions starve compute-bound stages (measured: the
-        # E3 kernel capped at ~6 partitions regardless of cores).
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+        # E3 kernel capped at ~6 partitions regardless of cores). r6: 16m →
+        # 1m (env-parameterized): text/regex stages do ~100× more CPU per
+        # byte than generic ETL, so coalescing to byte-balanced partitions
+        # starves them; 1m only merges truly tiny partitions. On an
+        # IO-bound production cluster raise via SPARK_GRAFT_ADVISORY.
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": os.environ.get(
+            "SPARK_GRAFT_ADVISORY", "1m"
+        ),
         # CPU-bound scans: web text compresses ~10×, so the 128 MB default
         # split packs ~1 GB of parse work per task and strands cores on
         # modest inputs (measured: the staged-table re-read ran on 2 tasks
         # regardless of core count). 16 MB compressed ≈ 100-200 MB of work.
         "spark.sql.files.maxPartitionBytes": "16m",
-        "spark.sql.files.openCostInBytes": "1m",
+        # r6: openCost raised to the split size so small files are NOT
+        # bin-packed into one split before a CPU-bound parse — each file is
+        # its own task and the doc kernel can skip its balance repartition
+        # (guide §2.4: remove the shuffle outright). Parameterized for
+        # listing-bound production layouts (millions of tiny files).
+        "spark.sql.files.openCostInBytes": os.environ.get(
+            "SPARK_GRAFT_OPEN_COST", "16m"
+        ),
+        # Joins (guide §3.1): allow shuffled-hash when per-partition builds
+        # fit, and broadcast dimension tables up to 64 MB — at 100 TB the
+        # fact side must never shuffle for a dimension join; raise/lower
+        # via env for clusters with small executors.
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.autoBroadcastJoinThreshold": os.environ.get(
+            "SPARK_GRAFT_BROADCAST_THRESHOLD", "64m"
+        ),
         # Arrow for pandas UDF / mapInPandas stages (the E1/E2 parse kernels).
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.execution.arrow.maxRecordsPerBatch": str(DEFAULT_ARROW_BATCH),
