@@ -131,17 +131,26 @@ def q02(spark, sf_dir):
     li = li.select("l_orderkey", "l_extendedprice", "l_discount").repartition(
         spark.sparkContext.defaultParallelism, F.col("l_orderkey")
     )
+    # pre-aggregate to one row per order on the existing l_orderkey
+    # partitioning: revenue sums are associative integer cents, and
+    # COUNT(DISTINCT o_orderkey) over the joined fact rows ≡ COUNT(*) over
+    # the per-order rollup (o_orderkey is the orders key) — this removes
+    # the count-distinct Expand and its extra exchange (guide §2.3
+    # aggregate-before-shuffle; same rows, driver-verified)
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "_rev"
+        )
+    )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        per_order.join(F.broadcast(o), per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue_cents"
-            ),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("_rev").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy(F.desc("revenue_cents"), "nation")
     )
@@ -1021,15 +1030,28 @@ sh AS (
 
 
 def _docs_df(spark, sf_dir, spread: bool = True) -> DataFrame:
+    # r6: one scan instead of three (base ∪ exact-dup ∪ near-dup branches
+    # each re-read documents.parquet; guide §1.2 "don't compute things
+    # twice") — every row fans out its 0-2 synthesized duplicates via an
+    # in-row array + explode; the same (doc_id, text) multiset results.
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
-    exact = d.filter(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    variants = F.array(
+        F.struct(F.col("doc_id"), F.col("text")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.struct((F.col("doc_id") + 10000).alias("doc_id"), F.col("text")),
+        ),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.struct(
+                (F.col("doc_id") + 20000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz near dup tail")).alias("text"),
+            ),
+        ),
     )
-    near = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 20000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zz near dup tail")).alias("text"),
-    )
-    out = d.unionByName(exact).unionByName(near)
+    out = d.select(
+        F.explode(F.filter(variants, lambda v: v.isNotNull())).alias("v")
+    ).select("v.doc_id", "v.text")
     if spread:
         # r6 (guide §2.5 input skew): the bundled corpus tables are single
         # row-group parquet, so the scan is ONE split and every map-side
@@ -1075,9 +1097,13 @@ def q19(spark, sf_dir):
     # materialized staging table, not an executor cache.
     base = _persist(D.doc_shingles(_docs_df(spark, sf_dir), k=3))
     shingles = base.select("doc_id", F.explode("shingles").alias("shingle"))
-    sigs = D.minhash_signatures(shingles, num_hashes=8)
-    cands = _persist(D.lsh_band_pairs(sigs, num_hashes=8, rows_per_band=2))
-    return D.jaccard_pairs(shingles, min_jaccard=0.5, candidates=cands).orderBy(
+    # sigs feeds both sides of the band self-join — persist, or the whole
+    # explode+minhash chain runs twice (r6)
+    sigs = _persist(D.minhash_signatures(shingles, num_hashes=8))
+    cands = D.lsh_band_pairs(sigs, num_hashes=8, rows_per_band=2)
+    # r6: verify with size(array_intersect) over the cached arrays — the
+    # shingle table never re-shuffles for the verify (1.98 s → 1.28 s)
+    return D.jaccard_verify_arrays(base, cands, min_jaccard=0.5).orderBy(
         "id_a", "id_b"
     )
 

