@@ -118,6 +118,30 @@ def _fingerprint(sf_dir: str) -> str:
     return h.hexdigest()
 
 
+# modules whose behavior the golden depends on: the payload builder (this
+# file) and the whole reference-extractor chain. An edit to any of them
+# must invalidate the cached golden (r5 ADVICE: data-only fingerprinting
+# silently reused a stale golden across extractor fixes).
+_VERSION_SOURCES = (
+    "golden.py",
+    os.path.join("oracle", "extractor.py"),
+    os.path.join("oracle", "labeling.py"),
+    os.path.join("oracle", "geometry.py"),
+    os.path.join("kernels", "segment.py"),
+    os.path.join("kernels", "normalize.py"),
+    "config.py",
+)
+
+
+def _version_token() -> str:
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.md5()
+    for rel in _VERSION_SOURCES:
+        with open(os.path.join(pkg, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()
+
+
 def golden_path(sf_dir: str) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     return os.path.join(GOLDEN_DIR, f"q27_extract_{tag}.parquet")
@@ -129,16 +153,23 @@ def ensure_q27_golden(sf_dir: str) -> str:
     path = golden_path(sf_dir)
     meta = path + ".src.json"
     fp = _fingerprint(sf_dir)
+    ver = _version_token()
     if os.path.exists(path) and os.path.exists(meta):
         try:
             with open(meta) as f:
-                if json.load(f).get("documents_md5") == fp:
-                    return path
-        except (OSError, ValueError):
+                m = json.load(f)
+            if m.get("documents_md5") == fp and m.get("extractor_md5") == ver:
+                # sanity-check the artifact itself (a valid sidecar must
+                # not shield a truncated/corrupted parquet from rebuild)
+                import pyarrow.parquet as pq
+
+                pq.ParquetFile(path)
+                return path
+        except Exception:  # unreadable sidecar or corrupt parquet → rebuild
             pass
     build_q27_golden(sf_dir, path)
     with open(meta + ".tmp", "w") as f:
-        json.dump({"documents_md5": fp, "sf_dir": sf_dir}, f)
+        json.dump({"documents_md5": fp, "extractor_md5": ver, "sf_dir": sf_dir}, f)
     os.replace(meta + ".tmp", meta)
     return path
 

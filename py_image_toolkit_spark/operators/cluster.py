@@ -80,8 +80,14 @@ def _checkpointer(df: DataFrame, mode: str):
     ``reliable`` whenever ``sparkContext.setCheckpointDir`` has been called,
     else ``local``."""
     if mode == "auto":
-        sc = df.sparkSession.sparkContext
-        mode = "reliable" if sc._jsc.sc().getCheckpointDir().isDefined() else "local"
+        # public accessor (r5 ADVICE): the private _jsc handle is absent
+        # under Spark Connect and brittle across PySpark versions — fall
+        # back to 'local' when the context cannot be probed
+        try:
+            sc = df.sparkSession.sparkContext
+            mode = "reliable" if sc.getCheckpointDir() else "local"
+        except Exception:  # Spark Connect / no classic context
+            mode = "local"
     if mode == "reliable":
         return df.checkpoint()
     return df.localCheckpoint()

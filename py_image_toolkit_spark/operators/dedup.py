@@ -601,10 +601,17 @@ def line_dedup(
     """
     arr = tokens_array(F.col(text_col))
     n_lines = F.ceil(F.size(arr) / F.lit(line_tokens)).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), n_lines - 1),
-        lambda i: F.array_join(F.slice(arr, i * line_tokens + 1, line_tokens), " "),
-    )
+    # guard empty/whitespace-only docs: sequence(0, -1) DESCENDS in Spark
+    # ([0, -1]), which would emit two phantom '' lines where the oracle's
+    # generate_series(0, -1) is empty (r5 ADVICE; latent — the fixture has
+    # no empty docs, so hashes are unchanged)
+    lines = F.when(
+        n_lines > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(arr, i * line_tokens + 1, line_tokens), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     base = df.select(F.col(id_col), lines.alias("_lines")).select(
         id_col, F.posexplode("_lines").alias("line_no", "line")
     )
