@@ -142,8 +142,13 @@ def q02(spark, sf_dir):
             "_rev"
         )
     )
+    # orders joins per_order as a shuffled-hash equijoin on the orderkey
+    # partitioning per_order already has (guide §3.1): orders is
+    # order-of-fact-table-sized, so building a driver broadcast of it is
+    # both slower here and wrong at 100 TB; the true dimensions below
+    # stay broadcast.
     return (
-        per_order.join(F.broadcast(o), per_order.l_orderkey == o.o_orderkey)
+        per_order.join(o.hint("shuffle_hash"), per_order.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -958,7 +963,7 @@ def q17(spark, sf_dir):
     (collect_list + array_sort) then the oracle labeling function over
     whole batches — replacing the ~7 window passes of the relational
     chain (label_pass1 → name inference → neighbor relabel → sessionize →
-    merge → pivot; measured 3.6 s → 1.0 s at sf0.1). The relational form
+    merge → pivot; measured 3.6 s → 1.3 s at sf0.1). The relational form
     stays the SQL-verified decomposition via q15/q16 and
     operators/extract_fields.py; byte-equality of the two forms over this
     exact token table is pinned by tests/test_extract_fields_kernel.py.
@@ -971,22 +976,26 @@ def q17(spark, sf_dir):
 
     li = t(spark, sf_dir, "lineitem")
     vocab_arr = F.array(*[F.lit(v) for v in _E3_VOCAB])
+    # pre-partition by doc_id so the collect_list groupBy reuses this
+    # exchange in COMPLETE mode: otherwise its partial aggregation builds
+    # every token list inside the single-split parquet scan task (the
+    # bundled tables are one row group — guide §2.5 input skew). The vocab
+    # token is attached AFTER the exchange: the shuffle then carries five
+    # longs per row instead of longs+string, and the lookup runs on every
+    # core (guide §2.3 shuffle keys/metadata, not payloads).
     toks = li.select(
         (F.col("l_orderkey") % 500).cast("long").alias("doc_id"),
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+    ).repartition(
+        spark.sparkContext.defaultParallelism, F.col("doc_id")
+    ).withColumn(
+        "token",
         F.element_at(
             vocab_arr,
             (
                 (F.col("l_partkey") * 7 + F.col("l_suppkey") * 3 + F.col("l_linenumber")) % 24 + 1
             ).cast("int"),
-        ).alias("token"),
-    )
-    # pre-partition by doc_id so the collect_list groupBy reuses this
-    # exchange in COMPLETE mode: otherwise its partial aggregation builds
-    # every token list inside the single-split parquet scan task (the
-    # bundled tables are one row group — guide §2.5 input skew)
-    toks = toks.repartition(
-        spark.sparkContext.defaultParallelism, F.col("doc_id")
+        ),
     )
     return extract_fields_from_tokens_kernel(
         toks,

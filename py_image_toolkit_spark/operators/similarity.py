@@ -23,6 +23,16 @@ from pyspark.sql import functions as F
 from py_image_toolkit_spark.operators.dedup import dot_cosine
 
 
+def _dot(x, y) -> F.Column:
+    """The exact sequential-fold dot product dot_cosine uses (same float
+    op order → identical doubles)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -30,14 +40,26 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k: (probe_id, rank, corpus_id, cos_micro)."""
+    """Exact top-k: (probe_id, rank, corpus_id, cos_micro).
+
+    r6: each side's norm is computed once per VECTOR before the join (the
+    interpreted array folds are the CPU cost here — guide §1.2 "don't
+    compute things twice"); the per-pair work is one dot product instead
+    of three. sqrt(dot(v, v)) is the identical float expression either
+    way, so cos_micro is bit-identical."""
     p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_pn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("corpus_vec")
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("corpus_vec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_cn"),
     )
-    cos = dot_cosine(F.col("probe_vec"), F.col("corpus_vec"))
+    cos = _dot(F.col("probe_vec"), F.col("corpus_vec")) / (
+        F.col("_pn") * F.col("_cn")
+    )
     scored = (
         F.broadcast(p)
         .join(c)
@@ -274,18 +296,23 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     dims: tuple[int, ...] = (0, 8, 16, 24),
 ) -> DataFrame:
-    """Bucketed ANN: candidates restricted to the probe's sign-LSH bucket."""
+    """Bucketed ANN: candidates restricted to the probe's sign-LSH bucket.
+    r6: per-vector norms precomputed before the join (see cosine_topk)."""
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
         sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_pn"),
     )
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("corpus_vec"),
         sign_lsh_bucket(F.col(vec_col), dims).alias("bucket"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))).alias("_cn"),
     )
-    cos = dot_cosine(F.col("probe_vec"), F.col("corpus_vec"))
+    cos = _dot(F.col("probe_vec"), F.col("corpus_vec")) / (
+        F.col("_pn") * F.col("_cn")
+    )
     scored = (
         F.broadcast(p)
         .join(c, "bucket")
