@@ -55,27 +55,31 @@ def shingle_array(text_col: Column, k: int = 3, distinct: bool = True) -> Column
     """Word k-grams of a text column as one in-row array — zero shuffles
     (r6 optimization, guide §2.4).
 
-    Construction is a zip_with chain over the token array and its shifted
-    slices: each argument array is evaluated once per ROW (a constant ~k
-    token-array materializations), never once per element — the
-    transform(sequence, i -> slice(arr, i, k)) form re-splits the full
-    document text O(L) times (measured 14.5 s vs 3 s at sf0.1) and is
-    still avoided. Tail elements with no k-th continuation concat to NULL.
+    Construction is ONE codegen'd Java regex pass: whitespace runs are
+    collapsed to single spaces, then a lookahead capture anchored at token
+    starts — ``(?:^| )(?=(tok tok … tok))`` — emits every overlapping
+    k-gram in token order. Tokens split on the same ``\\s+`` class as
+    tokens_array, so the grams are byte-identical to joining k consecutive
+    tokens with single spaces. Two slower in-row forms were measured and
+    rejected (r6): ``transform(sequence, i -> slice(arr, i, k))``
+    re-splits the text O(L) times per element (14.5 s vs 3 s at sf0.1),
+    and a zip_with chain over shifted slices runs through interpreted
+    higher-order functions (no codegen) — 1.32 s steady / 3.9 s
+    first-trial on q20 vs 1.01 s / 1.6 s for the regex form (JIT warms a
+    compiled-regex loop far faster than the interpreted expression
+    walker).
 
-    ``distinct=True``: nulls filtered + within-doc dedup (array_distinct),
-    so exploding reproduces the old distinct (id, shingle) rows without
-    the explode → window(lead) → DISTINCT shuffle pair. ``distinct=False``
-    skips both in-row passes (higher-order functions are interpreted, not
-    codegen'd — measured 0.92 s vs 1.35 s on q20 at sf0.1) for consumers
-    whose aggregate ignores duplicates and nulls (MIN-based minhash)."""
-    arr = tokens_array(text_col)
-    out = arr
-    for j in range(1, k):
-        nxt = F.slice(arr, j + 1, F.greatest(F.size(arr) - j, F.lit(0)))
-        out = F.zip_with(out, nxt, lambda x, y: F.concat(x, F.lit(" "), y))
+    ``distinct=True``: within-doc dedup (array_distinct, first-occurrence
+    order), so exploding reproduces the old distinct (id, shingle) rows
+    without the explode → window(lead) → DISTINCT shuffle pair.
+    ``distinct=False`` keeps duplicate grams for consumers whose
+    aggregate ignores them (MIN-based minhash)."""
+    norm = F.trim(F.regexp_replace(text_col, r"\s+", " "))
+    pat = r"(?:^| )(?=(" + " ".join([r"[^ ]+"] * k) + r"))"
+    grams = F.regexp_extract_all(norm, F.lit(pat), 1)
     if not distinct:
-        return out
-    return F.array_distinct(F.filter(out, lambda x: x.isNotNull()))
+        return grams
+    return F.array_distinct(grams)
 
 
 def doc_shingles(
@@ -117,14 +121,13 @@ def minhash_shingled(
     k: int = 3,
     num_hashes: int = 8,
 ) -> DataFrame:
-    """text → minhash signatures in one pass: raw (non-distinct, null-tail)
-    in-row shingle arrays exploded straight into the codegen'd md5-min
-    groupBy — MIN ignores both duplicates and the null tail gram, so the
-    signatures are byte-identical to minhash_signatures(shingle_df(df))
-    while skipping the distinct pass entirely (r6; measured 1.4 s → 0.9 s
-    on q20 at sf0.1). Docs shorter than k tokens produce only null grams →
-    all-null sigs → null band buckets, which match nothing in the LSH
-    equijoin — same pair set as the grouped form that dropped them."""
+    """text → minhash signatures in one pass: raw (non-distinct) in-row
+    shingle arrays exploded straight into the md5-min groupBy — MIN
+    ignores duplicates, so the signatures are byte-identical to
+    minhash_signatures(shingle_df(df)) while skipping the distinct pass
+    entirely (r6; measured 1.4 s → 0.9 s on q20 at sf0.1). Docs shorter
+    than k tokens produce an empty gram array and drop out at the
+    explode, exactly like the grouped form."""
     sh = df.select(
         F.col(id_col),
         F.explode(shingle_array(F.col(text_col), k, distinct=False)).alias(
