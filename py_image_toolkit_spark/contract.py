@@ -126,8 +126,7 @@ def q02(spark, sf_dir):
     # r6: project the fact side to the 3 needed columns and spread it off
     # the single-row-group scan split before the join probes + partial agg
     # (guide §2.3 project-before-exchange + §2.5 input skew; measured
-    # 1.75 s → 1.36 s); orders broadcasts like the other dimensions — the
-    # fact side never shuffles for a join at any scale.
+    # 1.75 s → 1.36 s, then → 1.20 s with the per-order rollup below).
     li = li.select("l_orderkey", "l_extendedprice", "l_discount").repartition(
         spark.sparkContext.defaultParallelism, F.col("l_orderkey")
     )
@@ -966,7 +965,8 @@ def q17(spark, sf_dir):
     merge → pivot; measured 3.6 s → 1.3 s at sf0.1). The relational form
     stays the SQL-verified decomposition via q15/q16 and
     operators/extract_fields.py; byte-equality of the two forms over this
-    exact token table is pinned by tests/test_extract_fields_kernel.py.
+    exact token table is pinned by
+    tests/test_r6_optimizations.py::test_q17_kernel_matches_relational_chain.
     The row_number seq window is skipped too: the kernel needs only the
     ORDER, so the raw (l_orderkey, l_linenumber, l_partkey, l_suppkey)
     sort key rides the collected structs directly."""

@@ -601,7 +601,7 @@ def extract_fields_from_tokens_kernel(
     (label_pass1 → name inference → neighbor relabel → sessionize → merge →
     pivot) with a single exchange; byte-identical by construction because
     oracle/labeling.py is the spec both forms implement (asserted by the
-    q17 DuckDB oracle and tests/test_extract_fields_kernel.py)."""
+    q17 DuckDB oracle and tests/test_r6_optimizations.py)."""
     from collections.abc import Iterator
 
     import pandas as pd
